@@ -1,0 +1,150 @@
+"""Shared flax building blocks with torch-parity initialization.
+
+Initializers reproduce torch defaults (kaiming_uniform(a=sqrt(5)) for conv /
+linear weights, U(+-1/sqrt(fan_in)) for biases) so training dynamics match
+the reference from step 0. All modules are NHWC.
+
+Note on synchronized batch-norm: the reference vendors a master/slave
+sync-BN (sync_batchnorm/batchnorm.py:38-315) that only syncs across
+DataParallel replicas and silently degrades to per-GPU BN under DDP
+(SURVEY.md section 2.3). Here batch statistics are plain jnp.mean over the
+batch axis of a *globally sharded* array inside jit, so XLA inserts the
+cross-chip psum automatically — true cross-replica sync-BN with zero
+bespoke machinery.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+# ---------------------------------------------------------------------------
+# torch-parity initializers
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on flax (kh, kw, in, out) kernels."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """nn.Conv with torch-default init and torch padding semantics."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0  # int, tuple, or flax padding spec
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        fan_in = kh * kw * in_ch // self.groups
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+
+
+class BatchNorm2d(nn.Module):
+    """torch BatchNorm2d parity (momentum 0.1, eps 1e-5, affine).
+
+    train=True uses (globally synced) batch stats and updates running
+    stats in the 'batch_stats' collection; train=False uses running stats.
+    """
+
+    features: int
+    momentum: float = 0.1  # torch convention
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            use_bias=True,
+            use_scale=True,
+            dtype=None,
+        )(x)
+
+
+class GroupNorm32(nn.Module):
+    """torch GroupNorm(num_groups=32, eps=1e-6, affine) — vqgan `normalize`
+    (archs/vqgan_arch.py:14-15). Falls back to `features` groups when the
+    channel count is below 32 (torch would error; we only hit this in tiny
+    test configs)."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        groups = 32 if x.shape[-1] % 32 == 0 else math.gcd(x.shape[-1], 32)
+        return nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon)(x)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jax.nn.leaky_relu(x, negative_slope)

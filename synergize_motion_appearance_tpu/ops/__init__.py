@@ -1,0 +1,46 @@
+"""TPU-native op kernels (jnp reference impls + Pallas hot paths)."""
+from .interp import (
+    grid_sample,
+    resize_bilinear,
+    resize_nearest,
+    upsample_nearest,
+    avg_pool_2x,
+    interpolate_flow,
+)
+from .coords import (
+    make_coordinate_grid,
+    kp2gaussian,
+    softargmax_kp,
+    antialias_downsample,
+    convex_hull_area,
+)
+from .vq import vq_quantize, vq_lookup, vq_nearest_indices
+from .tps import (
+    RandomTPSParams,
+    sample_random_tps,
+    tps_warp_coordinates,
+    tps_warp_frame_grid,
+    tps_jacobian,
+)
+
+__all__ = [
+    "grid_sample",
+    "resize_bilinear",
+    "resize_nearest",
+    "upsample_nearest",
+    "avg_pool_2x",
+    "interpolate_flow",
+    "make_coordinate_grid",
+    "kp2gaussian",
+    "softargmax_kp",
+    "antialias_downsample",
+    "convex_hull_area",
+    "vq_quantize",
+    "vq_lookup",
+    "vq_nearest_indices",
+    "RandomTPSParams",
+    "sample_random_tps",
+    "tps_warp_coordinates",
+    "tps_warp_frame_grid",
+    "tps_jacobian",
+]

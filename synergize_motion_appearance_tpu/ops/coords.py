@@ -1,0 +1,121 @@
+"""Coordinate grids, keypoint gaussians, soft-argmax, anti-alias downsample.
+
+Parity targets in the reference:
+  * make_coordinate_grid   — utils/motion_estimator_util.py:56-72
+  * kp2gaussian            — utils/motion_estimator_util.py:11-32
+  * gaussian2kp (softargmax) — archs/keypoint_detector_arch.py:48-58
+  * AntiAliasInterpolation2d — utils/motion_estimator_util.py:599-645
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_coordinate_grid(h: int, w: int, dtype=jnp.float32):
+    """Meshgrid of (x, y) in [-1, 1]^2, shape (h, w, 2).
+
+    x varies along width, y along height — same layout the reference
+    concatenates (xx, yy) in, so grids are drop-in grid_sample inputs.
+    """
+    x = 2.0 * (jnp.arange(w, dtype=dtype) / (w - 1)) - 1.0
+    y = 2.0 * (jnp.arange(h, dtype=dtype) / (h - 1)) - 1.0
+    xx = jnp.broadcast_to(x[None, :], (h, w))
+    yy = jnp.broadcast_to(y[:, None], (h, w))
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def kp2gaussian(kp_value, spatial_size, kp_variance):
+    """Keypoints -> isotropic gaussian heatmaps.
+
+    kp_value: (..., K, 2) in [-1,1] xy. Returns (..., K, H, W).
+    """
+    h, w = spatial_size
+    grid = make_coordinate_grid(h, w, kp_value.dtype)  # (h, w, 2)
+    lead = kp_value.shape[:-1]  # (..., K)
+    grid = grid.reshape((1,) * len(lead) + (h, w, 2))
+    mean = kp_value.reshape(lead + (1, 1, 2))
+    diff = grid - mean
+    return jnp.exp(-0.5 * jnp.sum(diff ** 2, axis=-1) / kp_variance)
+
+
+def softargmax_kp(heatmap):
+    """Soft-argmax of normalized heatmaps -> kp in [-1,1].
+
+    heatmap: (B, K, H, W) already softmax-normalized. Returns (B, K, 2).
+    """
+    B, K, H, W = heatmap.shape
+    grid = make_coordinate_grid(H, W, heatmap.dtype)  # (H, W, 2)
+    return jnp.einsum("bkhw,hwc->bkc", heatmap, grid,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.lru_cache(maxsize=32)
+def _gaussian_kernel_1d_meta(scale: float):
+    """(kernel numpy array, ka, kb, int_inv_scale) for a given scale."""
+    sigma = (1.0 / scale - 1.0) / 2.0
+    kernel_size = 2 * round(sigma * 4) + 1
+    ka = kernel_size // 2
+    kb = ka - 1 if kernel_size % 2 == 0 else ka
+    ax = np.arange(kernel_size, dtype=np.float32)
+    mean = (kernel_size - 1) / 2.0
+    k1 = np.exp(-((ax - mean) ** 2) / (2.0 * sigma ** 2))
+    k2 = np.outer(k1, k1)
+    k2 = k2 / k2.sum()
+    return k2, ka, kb, int(round(1.0 / scale))
+
+
+def antialias_downsample(x, scale: float):
+    """Band-limited downsampling (gaussian blur + stride), NHWC.
+
+    Parity with AntiAliasInterpolation2d: pad (ka, kb) each side, depthwise
+    conv with a fixed normalized gaussian, then stride-subsample.
+    """
+    if scale == 1.0:
+        return x
+    k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
+    B, H, W, C = x.shape
+    kern = jnp.asarray(k2, x.dtype)[:, :, None, None]  # (kh, kw, 1, 1)
+    kern = jnp.tile(kern, (1, 1, 1, C))  # depthwise: (kh, kw, 1, C)
+    out = jax.lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(1, 1),
+        padding=((ka, kb), (ka, kb)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, ::s, ::s, :]
+
+
+def convex_hull_area(points):
+    """Area of the convex hull of 2-D points, differentiable-free jnp impl.
+
+    Replaces the reference's per-frame host scipy.spatial.ConvexHull.volume
+    (demo.py:27-29) so the jitted animation loop never syncs to host.
+    Uses the O(K^2) 'is edge on hull' formulation: for each ordered pair
+    (i, j), the directed edge i->j is a hull edge iff all other points lie
+    on its left; hull area = 0.5 * sum over hull edges of cross(p_i, p_j).
+    K = 15 keypoints, so the K^2 masks are trivially cheap on TPU and the
+    whole thing stays inside jit (static shapes, no host callback).
+    """
+    pts = points.astype(jnp.float32)
+    K = pts.shape[0]
+    pi = pts[:, None, :]  # (K, 1, 2)
+    pj = pts[None, :, :]  # (1, K, 2)
+    # cross((pj - pi), (pk - pi)) for all k
+    d1 = pj - pi  # (K, K, 2)
+    d2 = pts[None, None, :, :] - pi[:, :, None, :]  # (K, K, K, 2)
+    cross = d1[..., None, 0] * d2[..., 1] - d1[..., None, 1] * d2[..., 0]
+    eps = 1e-9
+    all_left = jnp.all(cross >= -eps, axis=-1)  # (K, K)
+    not_self = ~jnp.eye(K, dtype=bool)
+    # Guard collinear duplicates: require the edge to have nonzero length.
+    nonzero = jnp.sum(d1 ** 2, axis=-1) > eps
+    is_edge = all_left & not_self & nonzero
+    edge_cross = pi[..., 0] * pj[..., 1] - pi[..., 1] * pj[..., 0]  # (K, K)
+    return 0.5 * jnp.sum(jnp.where(is_edge, edge_cross, 0.0))

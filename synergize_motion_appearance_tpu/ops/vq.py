@@ -1,0 +1,94 @@
+"""Vector-quantization nearest-codebook lookup.
+
+Parity target: VectorQuantizer.forward (reference archs/vqgan_arch.py:33-93):
+d = z^2 + e^2 - 2 z.e over a *prefix or range slice* of the codebook,
+argmin, straight-through estimator, commit loss
+beta * mean((sg[zq]-z)^2) + mean((zq-sg[z])^2), perplexity stats.
+
+TPU-first formulation: the distance matrix is one (N, D) @ (D, K) matmul on
+the MXU; the argmin + one-hot-matmul codebook read that the reference does
+via scatter is replaced by a direct `take` gather. A fused Pallas kernel
+(distance+argmin in VMEM tiles) lives in ops/pallas_kernels.py for the hot
+path; this module is the reference implementation and the public API.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def vq_nearest_indices(z_flat, codebook):
+    """z_flat: (N, D); codebook: (K, D). Returns (N,) int32 argmin indices.
+
+    Distance expansion matches the reference exactly (z^2 + e^2 - 2 z.e),
+    including its tie-breaking (argmin takes the first minimum).
+    """
+    z32 = z_flat.astype(jnp.float32)
+    e32 = codebook.astype(jnp.float32)
+    d = (
+        jnp.sum(z32 ** 2, axis=1, keepdims=True)
+        + jnp.sum(e32 ** 2, axis=1)[None, :]
+        - 2.0 * jnp.matmul(z32, e32.T, precision=jax.lax.Precision.HIGHEST)
+    )
+    return jnp.argmin(d, axis=1).astype(jnp.int32), d
+
+
+def vq_quantize(
+    z,
+    codebook,
+    beta: float = 0.25,
+    start: int = 0,
+    num: Optional[int] = None,
+):
+    """Quantize z against codebook[start:start+num] (static slice bounds).
+
+    z: (B, H, W, D) NHWC latents (the reference permutes NCHW->NHWC first;
+    we are already NHWC). Returns (z_q, loss, stats).
+
+    The prefix/range slicing implements the multi-scale codebook splitting
+    (vqgan_arch.py:43-50): shared mode slices [0:num], disjoint mode slices
+    [start:start+num].
+    """
+    K, D = codebook.shape
+    if num is None:
+        num = K - start
+    cb = jax.lax.slice(codebook, (start, 0), (start + num, D))
+
+    shp = z.shape
+    z_flat = z.reshape(-1, D)
+    idx, d = vq_nearest_indices(z_flat, cb)
+    z_q_flat = jnp.take(cb, idx, axis=0).astype(z.dtype)
+    z_q = z_q_flat.reshape(shp)
+
+    zf = z.astype(jnp.float32)
+    zqf = z_q.astype(jnp.float32)
+    # beta weights the commitment (encoder) term — vqgan_arch.py:76.
+    loss = beta * jnp.mean((jax.lax.stop_gradient(zqf) - zf) ** 2) + jnp.mean(
+        (zqf - jax.lax.stop_gradient(zf)) ** 2
+    )
+
+    # straight-through estimator — vqgan_arch.py:80
+    z_q = z + jax.lax.stop_gradient(z_q - z)
+
+    one_hot_mean = jnp.mean(
+        jax.nn.one_hot(idx, num, dtype=jnp.float32), axis=0
+    )
+    perplexity = jnp.exp(
+        -jnp.sum(one_hot_mean * jnp.log(one_hot_mean + 1e-10))
+    )
+    stats = {
+        "perplexity": perplexity,
+        "min_encoding_indices": idx.reshape(shp[:-1]),
+        "mean_distance": jnp.mean(d),
+    }
+    return z_q, loss, stats
+
+
+def vq_lookup(indices, codebook, shape=None):
+    """Codebook read by index — get_codebook_feat (vqgan_arch.py:99-111)."""
+    z_q = jnp.take(codebook, indices.reshape(-1), axis=0)
+    if shape is not None:
+        z_q = z_q.reshape(shape)
+    return z_q
