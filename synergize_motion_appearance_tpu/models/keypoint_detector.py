@@ -80,13 +80,15 @@ class KPDetector(nn.Module):
             )(feature_map)  # (B, h, w, 4*num_jac)
             jac = jacobian_map.reshape(B, h, w, num_jac, 4)
             # heatmap-weighted sum over spatial positions (:79-84)
-            jac = jnp.einsum(
-                "bhwk,bhwkf->bkf",
-                hm_bkhw.transpose(0, 2, 3, 1)
-                if num_jac == self.num_kp
-                else jnp.ones((B, h, w, 1), jac.dtype),
-                jac,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            out["jacobian"] = jac.reshape(B, num_jac, 2, 2)
+            if num_jac == self.num_kp:
+                jac = jnp.einsum(
+                    "bhwk,bhwkf->bkf", heatmap, jac,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:  # single shared jacobian map, weighted per-kp heatmap
+                jac = jnp.einsum(
+                    "bhwk,bhwf->bkf", heatmap, jac[..., 0, :],
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            out["jacobian"] = jac.reshape(B, self.num_kp, 2, 2)
         return out

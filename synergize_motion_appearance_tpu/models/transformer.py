@@ -1,0 +1,119 @@
+"""Codebook cross-attention transformer layer.
+
+Parity target: TransformerLayer (appmotioncodebook_arch.py:65-126):
+pre-LN self-attention (pos emb on q,k), cross-attention against codebook
+entries (k=v=context, pos only on q), and a conv-FFN (3x3 convs over the
+spatial reshape of the token grid) instead of an MLP.
+
+Layout: batch-first (B, L, E) — the reference uses torch's seq-first
+(L, B, E); math is identical. Attention is plain dense attention: L=1024
+tokens and K<=1024 codebook entries make one (B*h, L, K) score tensor a
+few MB — XLA fuses softmax into the matmuls; no flash attention needed at
+this size.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import Conv2d, LayerNorm
+
+
+def _xavier_packed_init(key, shape, dtype=jnp.float32):
+    """xavier_uniform over the torch-packed (3E, E) in_proj weight."""
+    e = shape[-1]
+    bound = math.sqrt(6.0 / (4.0 * e))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class MultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention parity (packed qkv proj + out proj)."""
+
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, key_padding_mask: Optional[jnp.ndarray] = None):
+        """q: (B, Lq, E); k, v: (B, Lk, E);
+        key_padding_mask: (B, Lk) bool, True = exclude key."""
+        E, H = self.embed_dim, self.num_heads
+        d = E // H
+
+        wq = self.param("wq", _xavier_packed_init, (E, E))
+        wk = self.param("wk", _xavier_packed_init, (E, E))
+        wv = self.param("wv", _xavier_packed_init, (E, E))
+        b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+
+        from .layers import torch_linear_kernel_init
+
+        wo = self.param("out_proj_kernel", torch_linear_kernel_init, (E, E))
+        bo = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        qp = q @ wq + b_in[:E]
+        kp = k @ wk + b_in[E:2 * E]
+        vp = v @ wv + b_in[2 * E:]
+
+        qp = qp.reshape(B, Lq, H, d).transpose(0, 2, 1, 3)
+        kp = kp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
+        vp = vp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qp, kp) / math.sqrt(d)
+        if key_padding_mask is not None:
+            mask = key_padding_mask[:, None, None, :]
+            scores = jnp.where(mask, -jnp.inf, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if key_padding_mask is not None:
+            # all-keys-masked rows produce NaN after softmax; torch leaves
+            # NaN too, but in practice at least one key is in-frame. Guard
+            # anyway so jit never propagates NaN from degenerate inputs.
+            attn = jnp.nan_to_num(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        return out @ wo + bo
+
+
+class TransformerLayer(nn.Module):
+    embed_dim: int
+    nhead: int = 8
+    dim_conv: int = 64
+
+    @nn.compact
+    def __call__(self, tgt, context, hw, key_padding_mask=None,
+                 query_pos=None):
+        """tgt: (B, L, E); context: (B, K, E); hw: (h, w) with h*w == L."""
+        h, w = hw
+        B, L, E = tgt.shape
+
+        def with_pos(t, pos):
+            return t if pos is None else t + pos
+
+        # self attention (pre-LN)
+        tgt2 = LayerNorm(name="norm1")(tgt)
+        q = with_pos(tgt2, query_pos)
+        sa = MultiheadAttention(E, self.nhead, name="self_attn")(
+            q, q, tgt2, key_padding_mask=key_padding_mask
+        )
+        tgt = tgt + sa
+
+        # cross attention against codebook context
+        tgt2 = LayerNorm(name="norm2")(tgt)
+        q = with_pos(tgt2, query_pos)
+        ca = MultiheadAttention(E, self.nhead, name="cross_attn")(
+            q, context, context
+        )
+        tgt = tgt + ca
+
+        # conv FFN over the spatial grid
+        tgt2 = LayerNorm(name="norm3")(tgt)
+        grid = tgt2.reshape(B, h, w, E)
+        grid = Conv2d(self.dim_conv, (3, 3), padding=1, name="conv1")(grid)
+        grid = jax.nn.gelu(grid, approximate=False)
+        grid = Conv2d(E, (3, 3), padding=1, name="conv2")(grid)
+        tgt = tgt + grid.reshape(B, L, E)
+        return tgt
