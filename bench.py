@@ -1,0 +1,74 @@
+"""Benchmark: flagship 256x256 reenactment throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "reenactment_fps_256", "value": N, "unit": "frames/sec/chip",
+   "vs_baseline": N/60}
+
+Protocol: full per-frame pipeline (keypoint detection for each driving
+frame + dense motion + AppMotionCompFormer generator), frames processed in
+device batches, measured steady-state after one warmup, end-to-end
+including H2D of driving frames and D2H of generated frames. The
+vs_baseline denominator is the 60 fps/chip north star from BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from synergize_motion_appearance_tpu.inference import ReenactmentPipeline
+    from synergize_motion_appearance_tpu.models import build_network
+    from __graft_entry__ import _flagship_config
+
+    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "16"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
+
+    cfg = _flagship_config(256)
+    net_g = build_network(cfg["network_g"])
+    motion_estimator = build_network(cfg["network_motion_estimator"])
+
+    rng = np.random.RandomState(0)
+    source = (rng.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
+    driving = (rng.rand(n_frames, 256, 256, 3).astype(np.float32) * 2 - 1)
+
+    import jax.numpy as jnp
+
+    s = jnp.asarray(source)
+    d0 = jnp.asarray(driving[:1])
+    m_vars = motion_estimator.init(jax.random.PRNGKey(0), d0, s)
+    dense_motion = motion_estimator.apply(m_vars, d0, s)
+    g_vars = net_g.init(jax.random.PRNGKey(1), s, dense_motion,
+                        inference=True)
+
+    pipeline = ReenactmentPipeline(
+        net_g, motion_estimator, g_vars, m_vars,
+        relative=True, adapt_scale=True, frame_batch=frame_batch,
+    )
+
+    # warmup (compile)
+    _ = pipeline.animate(source, driving[:frame_batch])
+
+    t0 = time.perf_counter()
+    preds = pipeline.animate(source, driving)
+    t1 = time.perf_counter()
+    assert preds.shape[0] == n_frames
+    assert np.isfinite(preds).all()
+
+    fps = n_frames / (t1 - t0)
+    print(json.dumps({
+        "metric": "reenactment_fps_256",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -678,7 +678,12 @@ class AppMotionCompFormer(nn.Module):
         gen_tap_idx = {self.gen_taps[r]: r for r in connect}
         max_app_res = max(self.connect_app)
 
+        pre_final = None
         for i, block in enumerate(self.generator_blocks):
+            if i == len(self.generator_blocks) - 1:
+                # activation entering the final RGB conv — used by the
+                # adaptive GAN weight (appmotioncomp_model.py:222-228, 334)
+                pre_final = xg
             xg = block(xg)
             if x_lr is not None:
                 x_lr = block(x_lr)
@@ -711,6 +716,7 @@ class AppMotionCompFormer(nn.Module):
 
         out = {
             "out": xg,
+            "pre_final": pre_final,
             "lq_feat": lq_feat,
             "out_occ": out_occ,
             "deformation_list": motion_list,

@@ -27,8 +27,13 @@ _VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
 # slice boundaries in torchvision `features` indices (vgg_arch.py:179-188)
 _SLICE_ENDS_CONV = [1, 3, 5, 9, 13]  # number of convs consumed per slice end
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 1, 1, 3)
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 1, 1, 3)
+# numpy (not jnp) so importing this module never initializes a jax backend
+import numpy as _np
+
+_IMAGENET_MEAN = _np.asarray([0.485, 0.456, 0.406],
+                             dtype=_np.float32).reshape(1, 1, 1, 3)
+_IMAGENET_STD = _np.asarray([0.229, 0.224, 0.225],
+                            dtype=_np.float32).reshape(1, 1, 1, 3)
 
 
 def _max_pool_2x(x):

@@ -1,0 +1,148 @@
+"""Training entry point (parity target: basicsr/train.py:116-227).
+
+`python -m synergize_motion_appearance_tpu.train -opt options/train.yml`
+
+Replaces torch.distributed.launch + DDP with: optional
+jax.distributed.initialize (multi-host), a 1-D data mesh, per-host
+EnlargedSampler shards, and ONE jitted train step (see training/trainer.py).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from os import path as osp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True,
+                        help="Path to option YAML file.")
+    parser.add_argument("--launcher", choices=["none", "jax"],
+                        default="none", help="multi-host launcher")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="override total_iter (smoke runs)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .data import (BatchLoader, EnlargedSampler, build_dataset,
+                       infinite_batches)
+    from .parallel import (create_mesh, init_distributed, is_master,
+                           replicate, shard_batch)
+    from .training import Trainer
+    from .training.checkpoint import (latest_checkpoint, restore_checkpoint,
+                                      save_checkpoint)
+    from .utils.logger import (MessageLogger, get_env_info, get_root_logger,
+                               init_tb_logger)
+    from .utils.options import dict2str, make_exp_dirs, parse
+
+    if args.launcher == "jax":
+        init_distributed()
+
+    opt = parse(args.opt, is_train=True)
+    if args.steps is not None:
+        opt["train"]["total_iter"] = args.steps
+    make_exp_dirs(opt)
+    logger = get_root_logger(
+        log_file=osp.join(opt["path"]["log"], "train.log")
+    )
+    logger.info(get_env_info())
+    logger.info(dict2str(opt))
+    tb_logger = None
+    if opt.get("logger", {}).get("use_tb_logger") and is_master():
+        tb_logger = init_tb_logger(osp.join(opt["path"]["log"], "tb_logger"))
+
+    seed = opt.get("manual_seed", 0)
+    np.random.seed(seed + jax.process_index())
+
+    # ---- data ----
+    ds_opt = opt["datasets"]["train"]
+    ds_opt["is_train"] = True
+    dataset = build_dataset(ds_opt)
+    per_host_batch = int(ds_opt.get("batch_size_per_gpu", 4)) * \
+        jax.local_device_count()
+    sampler = EnlargedSampler(
+        len(dataset), jax.process_count(), jax.process_index(),
+        ratio=int(ds_opt.get("dataset_enlarge_ratio", 1)),
+    )
+    loader = BatchLoader(
+        dataset, per_host_batch, sampler,
+        num_workers=int(ds_opt.get("num_worker_per_gpu", 4)),
+    )
+    logger.info(
+        f"Dataset {ds_opt.get('name')}: {len(dataset)} videos, "
+        f"{per_host_batch} samples/host/step, "
+        f"{jax.process_count()} hosts."
+    )
+
+    # ---- model / state ----
+    trainer = Trainer(opt)
+    mesh = create_mesh(("data",))
+    batches = infinite_batches(loader)
+    epoch0, first_batch = next(batches)
+    first_batch = shard_batch(first_batch, mesh)
+    state, vgg_params = trainer.init_state(
+        jax.random.PRNGKey(seed), first_batch
+    )
+    state = replicate(state, mesh)
+    vgg_params = replicate(vgg_params, mesh)
+
+    start_epoch, start_iter = 0, 0
+    ckpt_dir = opt["path"]["training_states"]
+    resume = opt["path"].get("resume_state") or latest_checkpoint(ckpt_dir)
+    if resume:
+        state, start_epoch = restore_checkpoint(resume, state)
+        state = replicate(state, mesh)
+        start_iter = int(state.step)
+        logger.info(f"Resumed from {resume} @ iter {start_iter}")
+
+    train_step = jax.jit(trainer.make_train_step(), donate_argnums=(0,))
+    total_iter = int(opt["train"]["total_iter"])
+    msg_logger = MessageLogger(opt, start_iter, tb_logger)
+    print_freq = opt.get("logger", {}).get("print_freq", 100)
+    save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 5e3))
+    rng = jax.random.PRNGKey(seed + 1000)
+
+    logger.info(f"Start training from iter {start_iter}")
+    data_t = iter_t = time.time()
+    current_iter = start_iter
+    epoch = epoch0
+    batch = first_batch if start_iter == 0 else None
+    while current_iter < total_iter:
+        if batch is None:
+            epoch, batch = next(batches)
+            batch = shard_batch(batch, mesh)
+        data_time = time.time() - data_t
+
+        step_rng = jax.random.fold_in(rng, current_iter)
+        state, logs = train_step(state, batch, step_rng, vgg_params)
+        batch = None
+        current_iter += 1
+
+        if current_iter % print_freq == 0:
+            logs = {k: float(v) for k, v in jax.device_get(logs).items()}
+            logs.update({
+                "iter": current_iter,
+                "epoch": epoch,
+                "lrs": [float(trainer.lr_g(current_iter))],
+                "time": time.time() - iter_t,
+                "data_time": data_time,
+            })
+            msg_logger(logs)
+        iter_t = time.time()
+
+        if current_iter % save_freq == 0 or current_iter == total_iter:
+            logger.info(f"Saving checkpoint @ iter {current_iter}")
+            save_checkpoint(ckpt_dir, jax.device_get(state), epoch)
+        data_t = time.time()
+
+    logger.info("Training done.")
+    if tb_logger is not None:
+        tb_logger.close()
+
+
+if __name__ == "__main__":
+    main()

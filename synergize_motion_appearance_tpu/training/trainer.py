@@ -1,0 +1,483 @@
+"""Training runtime: one pjit-compiled step for the full G + D alternation.
+
+Parity target: models/appmotioncomp_model.py:108-434 (AppMotionCompModel's
+init_training_settings / optimize_parameters) and models/base_model.py
+(EMA :51-58, optimizers, reduce_loss_dict :298-323).
+
+TPU-native design (SURVEY.md section 7):
+  * The entire optimize_parameters body — motion forward, generator
+    forward, 10-term loss assembly, adaptive GAN weighting, G update, EMA,
+    D update — is ONE jitted function over a `data`-sharded batch. XLA
+    inserts the gradient all-reduce; loss scalars come out globally
+    averaged, replacing reduce_loss_dict.
+  * The adaptive discriminator weight (two autograd.grad probes wrt the
+    final conv weight, appmotioncomp_model.py:222-228) becomes two
+    jax.grad probes through ONLY the final conv + loss heads, using the
+    saved pre-final activation — no second full forward/backward.
+  * D-phase gating (iter > net_d_start_iter, :414) is a tree-select
+    between updated and previous (params, opt_state, stats), keeping Adam
+    step counts exactly aligned with the reference's delayed start.
+  * torch's .detach() points map to stop_gradient (out['out'] into the D
+    phase, commit-loss targets inside the model, probe activations).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax
+import optax
+
+from ..losses.losses import (
+    EquivarianceLoss,
+    GANLoss,
+    KPDistanceLoss,
+    L1Loss,
+    MultiScalePyramidPerceptualLoss,
+)
+from ..models import build_network
+from ..models.vgg import VGG19Features
+from ..ops import grid_sample, make_coordinate_grid, sample_random_tps
+from ..ops.tps import tps_warp_frame_grid
+
+sg = jax.lax.stop_gradient
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params_g: Any
+    params_m: Any
+    params_d: Any
+    stats_m: Any
+    stats_d: Any
+    ema_g: Any
+    opt_g: Any
+    opt_m: Any
+    opt_d: Any
+
+
+def multistep_lr(base_lr: float, milestones, gamma: float = 0.5):
+    """MultiStepLR (models/lr_scheduler.py:6-33) as an optax schedule."""
+    milestones = sorted(milestones)
+
+    def schedule(count):
+        factor = jnp.ones((), jnp.float32)
+        for m in milestones:
+            factor = factor * jnp.where(count >= m, gamma, 1.0)
+        return base_lr * factor
+
+    return schedule
+
+
+def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any]):
+    """Returns (gradient transform, lr schedule over the GLOBAL step).
+
+    The lr is applied manually from the global iteration count so that all
+    three schedulers step per-iteration like the reference
+    (base_model.py:144-165), even though the D optimizer only starts
+    applying updates after net_d_start_iter.
+    """
+    lr = float(opt_cfg.get("lr", 8e-5))
+    betas = opt_cfg.get("betas", [0.9, 0.99])
+    wd = float(opt_cfg.get("weight_decay", 0.0))
+    if sched_cfg and sched_cfg.get("type") == "MultiStepLR":
+        schedule = multistep_lr(lr, sched_cfg.get("milestones", []),
+                                float(sched_cfg.get("gamma", 0.5)))
+    else:
+        schedule = lambda step: jnp.asarray(lr, jnp.float32)
+    tx = optax.scale_by_adam(b1=betas[0], b2=betas[1])
+    if wd > 0:
+        tx = optax.chain(tx, optax.add_decayed_weights(wd))
+    return tx, schedule
+
+
+def _tree_select(flag, new, old):
+    """flag ? new : old over a pytree (flag is a traced scalar bool)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(flag, n, o) if n.shape == o.shape else n,
+        new, old,
+    )
+
+
+def _final_conv_leaf_path(params_g):
+    """Locate the final generator conv kernel/bias (the adaptive-weight
+    leaf when fix_generator=False — appmotioncomp_model.py:334)."""
+    gen_names = sorted(
+        (k for k in params_g if k.startswith("generator_blocks_")),
+        key=lambda s: int(s.rsplit("_", 1)[1]),
+    )
+    last = gen_names[-1]
+    leaf = params_g[last]["conv"]["Conv_0"]
+    return last, leaf["kernel"], leaf["bias"]
+
+
+class Trainer:
+    """Builds networks/losses from a reference-style YAML option dict and
+    exposes `init_state` + a jittable `train_step`."""
+
+    def __init__(self, opt: Dict[str, Any]):
+        self.opt = opt
+        self.net_g = build_network(opt["network_g"])
+        self.motion_estimator = build_network(opt["network_motion_estimator"])
+        self.net_d = build_network(opt["network_d"])
+        self.vgg = VGG19Features()
+
+        t = opt["train"]
+        self.cri_pix = L1Loss(**_strip(t.get("pixel_opt"))) if t.get(
+            "pixel_opt") else None
+        if t.get("perceptual_opt"):
+            p = _strip(t["perceptual_opt"])
+            self.cri_perceptual = MultiScalePyramidPerceptualLoss(
+                vgg_apply=lambda params, x: self.vgg.apply(
+                    {"params": params}, x
+                ),
+                scales=p.get("scales", (1, 0.5, 0.25, 0.125)),
+                loss_weights=p.get("loss_weights", (1.0,) * 5),
+            )
+        else:
+            self.cri_perceptual = None
+        self.cri_gan = GANLoss(**_strip(t.get("gan_opt"))) if t.get(
+            "gan_opt") else None
+        self.w_motion_code = float(
+            t.get("motion_codebook_code_opt", {}).get("loss_weight", 1.0)
+        )
+        self.cri_motion_recon = L1Loss(
+            **_strip(t.get("motion_codebook_recon_opt"))
+        ) if t.get("motion_codebook_recon_opt") else None
+        self.w_app_code = float(
+            t.get("app_codebook_code_opt", {}).get("loss_weight", 1.0)
+        )
+        self.w_lr_list = list(
+            t.get("lr_pixel_perceptual_opt", {}).get("loss_weight", [])
+        )
+        self.cri_equivariance = EquivarianceLoss(
+            **_strip(t.get("equivariance_opt"))
+        ) if t.get("equivariance_opt") else None
+        self.cri_kp_distance = KPDistanceLoss(
+            **_strip(t.get("kp_distance_opt"))
+        ) if t.get("kp_distance_opt") else None
+
+        self.scale_adaptive_gan_weight = float(
+            t.get("scale_adaptive_gan_weight", 0.8)
+        )
+        self.net_d_start_iter = int(t.get("net_d_start_iter", 0))
+        self.net_g_start_iter = int(t.get("net_g_start_iter", 0))
+        self.ema_decay = float(t.get("ema_decay", 0))
+        self.use_adaptive_weight = bool(t.get("use_adaptive_weight", True))
+        self.total_iter = int(t.get("total_iter", 250000))
+        sched = t.get("scheduler", {})
+        self.tx_g, self.lr_g = _make_optimizer(t["optim_g"], sched)
+        self.tx_m, self.lr_m = _make_optimizer(
+            t.get("optim_motion", t["optim_g"]), sched
+        )
+        self.tx_d, self.lr_d = _make_optimizer(t["optim_d"], sched)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, sample_batch) -> Tuple[TrainState, Any]:
+        source = sample_batch["source"]
+        gt = sample_batch["driving"]
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        vars_m = self.motion_estimator.init(k1, gt, source)
+        dense_motion = self.motion_estimator.apply(vars_m, gt, source)
+        vars_g = self.net_g.init(k2, source, dense_motion, gt=gt)
+        vars_d = self.net_d.init(k3, gt)
+        vgg_params = self.vgg.init(k4, gt)["params"]
+
+        params_g = vars_g["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=params_g,
+            params_m=vars_m["params"],
+            params_d=vars_d["params"],
+            stats_m=vars_m.get("batch_stats", {}),
+            stats_d=vars_d.get("batch_stats", {}),
+            ema_g=jax.tree_util.tree_map(jnp.copy, params_g),
+            opt_g=self.tx_g.init(params_g),
+            opt_m=self.tx_m.init(vars_m["params"]),
+            opt_d=self.tx_d.init(vars_d["params"]),
+        )
+        return state, vgg_params
+
+    # ------------------------------------------------------------------
+    def _probe_d_weight(self, params_g, pre_final, gt, fake_stats_ctx):
+        """Adaptive GAN weight via grad probes on the final conv kernel
+        (appmotioncomp_model.py:222-228, 325-345). `pre_final` is the
+        activation entering the final RGB conv; gradients wrt other params
+        don't affect the ratio, exactly like torch's autograd.grad on the
+        single leaf."""
+        _, kernel, bias = _final_conv_leaf_path(params_g)
+        h = sg(pre_final)
+        gt_c = sg(gt)
+        params_d, stats_d = fake_stats_ctx
+
+        def out_from(kern):
+            return jax.lax.conv_general_dilated(
+                h, kern, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+
+        def recon_probe(kern):
+            o = out_from(kern)
+            r = 0.0
+            if self.cri_perceptual is not None:
+                r = r + self.cri_perceptual(self._vgg_params, o, gt_c)
+            if self.cri_pix is not None:
+                r = r + self.cri_pix(o, gt_c)
+            return r
+
+        def gan_probe(kern):
+            o = out_from(kern)
+            pred = self.net_d.apply(
+                {"params": sg(params_d), "batch_stats": sg(stats_d)},
+                o, train=True, mutable=["batch_stats"],
+            )[0]
+            return self.cri_gan(pred, True, is_disc=False)
+
+        g_recon = jax.grad(recon_probe)(kernel)
+        g_gan = jax.grad(gan_probe)(kernel)
+        norm = lambda g: jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+        d_weight = norm(g_recon) / (norm(g_gan) + 1e-4)
+        return sg(jnp.clip(d_weight, 0.0, 1.0))
+
+    # ------------------------------------------------------------------
+    def make_train_step(self) -> Callable:
+        """Returns train_step(state, batch, rng, vgg_params) -> (state, logs).
+        Jit/pjit this once; batch is sharded on the data axis."""
+
+        def train_step(state: TrainState, batch, rng, vgg_params):
+            # expose vgg params to the probe closure without re-tracing
+            self._vgg_params = vgg_params
+            source = batch["source"]
+            gt = batch["driving"]
+            B, H, W, _ = gt.shape
+            step = state.step
+            d_on = step > self.net_d_start_iter  # (:325, :414)
+            g_on = step >= self.net_g_start_iter
+
+            rng_tps = jax.random.fold_in(rng, 0)
+
+            def g_loss_fn(params_g, params_m):
+                logs = {}
+                vars_m = {"params": params_m, "batch_stats": state.stats_m}
+                dense_motion, mut_m = self.motion_estimator.apply(
+                    vars_m, gt, source, train=True, mutable=["batch_stats"]
+                )
+                out = self.net_g.apply(
+                    {"params": params_g}, source, dense_motion, w=1.0, gt=gt
+                )
+                total = 0.0
+
+                if self.cri_pix is not None:
+                    l_g_pix = self.cri_pix(out["out"], gt)
+                    total += l_g_pix
+                    logs["l_g_pix"] = l_g_pix
+                if self.cri_perceptual is not None:
+                    l_g_percep = self.cri_perceptual(vgg_params, out["out"], gt)
+                    total += l_g_percep
+                    logs["l_g_percep"] = l_g_percep
+
+                # GAN term (gated on d_on like :325-345)
+                if self.cri_gan is not None:
+                    fake_pred, mut_d_g = self.net_d.apply(
+                        {"params": state.params_d,
+                         "batch_stats": state.stats_d},
+                        out["out"], train=True, mutable=["batch_stats"],
+                    )
+                    l_g_gan = self.cri_gan(fake_pred, True, is_disc=False)
+                    if self.use_adaptive_weight:
+                        d_weight = self._probe_d_weight(
+                            params_g, out["pre_final"], gt,
+                            (state.params_d, state.stats_d),
+                        )
+                    else:
+                        d_weight = jnp.asarray(1.0)
+                    d_weight = d_weight * self.scale_adaptive_gan_weight
+                    d_weight = jnp.where(d_on, d_weight, 0.0)
+                    total += d_weight * l_g_gan
+                    logs["d_weight"] = d_weight
+                    logs["l_g_gan"] = d_weight * l_g_gan
+                else:
+                    mut_d_g = {"batch_stats": state.stats_d}
+
+                # motion codebook commit losses (:347-352)
+                if self.w_motion_code:
+                    l_mcode = sum(out["codebook_loss_motion_list"]) * \
+                        self.w_motion_code
+                    total += l_mcode
+                    logs["l_g_motion_codebook_code"] = l_mcode
+
+                # motion codebook recon vs (flow - grid) (:354-365)
+                if self.cri_motion_recon is not None:
+                    hd, wd = out["deformation_list"][0].shape[1:3]
+                    grid = make_coordinate_grid(hd, wd)[None]
+                    l_mrecon = 0.0
+                    for i, recon in enumerate(out["motion_recon_list"]):
+                        target = sg(out["deformation_list"][i] - grid)
+                        l_mrecon += self.cri_motion_recon(recon, target)
+                    total += l_mrecon
+                    logs["l_g_motion_codebook_recon"] = l_mrecon
+
+                # low-res decode supervision (:367-377)
+                for i, wlr in enumerate(self.w_lr_list):
+                    if self.cri_pix is not None:
+                        l_pix_lr = self.cri_pix(out["out_lr"][i], gt) * wlr
+                        total += l_pix_lr
+                        logs[f"l_g_pix_lr_{i}"] = l_pix_lr
+                    if self.cri_perceptual is not None:
+                        l_percep_lr = self.cri_perceptual(
+                            vgg_params, out["out_lr"][i], gt
+                        ) * wlr
+                        total += l_percep_lr
+                        logs[f"l_g_percep_lr_{i}"] = l_percep_lr
+
+                # appearance codebook commit losses (:379-384)
+                if self.w_app_code > 0:
+                    l_acode = sum(out["codebook_loss_app_list"]) * \
+                        self.w_app_code
+                    total += l_acode
+                    logs["l_g_app_codebook_code"] = l_acode
+
+                # equivariance under random TPS (:387-398)
+                if self.cri_equivariance is not None:
+                    tp = self.cri_equivariance.transform_params
+                    tps = sample_random_tps(
+                        rng_tps, B, tp["sigma_affine"], tp["sigma_tps"],
+                        tp["points_tps"],
+                    )
+                    warp_grid = tps_warp_frame_grid(tps, H, W)
+                    transformed_frame = grid_sample(
+                        gt, warp_grid, align_corners=False,
+                        padding_mode="reflection",
+                    )
+                    transformed_kp, mut_m = self.motion_estimator.apply(
+                        {"params": params_m,
+                         "batch_stats": mut_m["batch_stats"]},
+                        transformed_frame, train=True,
+                        method="estimate_kp", mutable=["batch_stats"],
+                    )
+                    l_eq_v, l_eq_j = self.cri_equivariance(
+                        dense_motion["kp_driving"], transformed_kp, tps
+                    )
+                    total += l_eq_v
+                    logs["l_equivariance_value"] = l_eq_v
+                    if l_eq_j is not None:
+                        total += l_eq_j
+                        logs["l_equivariance_jacobian"] = l_eq_j
+
+                if self.cri_kp_distance is not None:
+                    l_kpd = self.cri_kp_distance(
+                        dense_motion["kp_driving"],
+                        dense_motion["kp_source"],
+                    )
+                    total += l_kpd
+                    logs["l_kpd"] = l_kpd
+
+                aux = (logs, mut_m["batch_stats"],
+                       mut_d_g["batch_stats"], out["out"])
+                return total, aux
+
+            (l_g_total, (logs, new_stats_m, stats_d_after_g, fake_img)
+             ), grads = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params_g, state.params_m)
+            logs["l_g_total"] = l_g_total
+            grads_g, grads_m = grads
+
+            # G/M updates (:405-408), gated on g_on; lr from the global
+            # step so schedules match the reference's per-iter stepping
+            def apply_lr(upds, lr):
+                return jax.tree_util.tree_map(lambda u: -lr * u, upds)
+
+            upd_g, new_opt_g = self.tx_g.update(grads_g, state.opt_g,
+                                                state.params_g)
+            new_params_g = optax.apply_updates(
+                state.params_g, apply_lr(upd_g, self.lr_g(step))
+            )
+            upd_m, new_opt_m = self.tx_m.update(grads_m, state.opt_m,
+                                                state.params_m)
+            new_params_m = optax.apply_updates(
+                state.params_m, apply_lr(upd_m, self.lr_m(step))
+            )
+
+            new_params_g = _tree_select(g_on, new_params_g, state.params_g)
+            new_opt_g = _tree_select(g_on, new_opt_g, state.opt_g)
+            new_params_m = _tree_select(g_on, new_params_m, state.params_m)
+            new_opt_m = _tree_select(g_on, new_opt_m, state.opt_m)
+            new_stats_m = _tree_select(g_on, new_stats_m, state.stats_m)
+
+            # EMA (base_model.py:51-58), decay 0.995
+            if self.ema_decay > 0:
+                d = self.ema_decay
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p * (1 - d),
+                    state.ema_g, new_params_g,
+                )
+            else:
+                new_ema = state.ema_g
+
+            # D phase (:414-432)
+            def d_loss_fn(params_d):
+                real_pred, s1 = self.net_d.apply(
+                    {"params": params_d, "batch_stats": stats_d_after_g},
+                    gt, train=True, mutable=["batch_stats"],
+                )
+                l_d_real = self.cri_gan(real_pred, True, is_disc=True)
+                fake_pred, s2 = self.net_d.apply(
+                    {"params": params_d, "batch_stats": s1["batch_stats"]},
+                    sg(fake_img), train=True, mutable=["batch_stats"],
+                )
+                l_d_fake = self.cri_gan(fake_pred, False, is_disc=True)
+                d_logs = {
+                    "l_d_real": l_d_real,
+                    "l_d_fake": l_d_fake,
+                    "out_d_real": jnp.mean(real_pred),
+                    "out_d_fake": jnp.mean(fake_pred),
+                }
+                return l_d_real + l_d_fake, (d_logs, s2["batch_stats"])
+
+            if self.cri_gan is not None:
+                (_, (d_logs, new_stats_d)), grads_d = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(state.params_d)
+                upd_d, new_opt_d = self.tx_d.update(grads_d, state.opt_d,
+                                                    state.params_d)
+                new_params_d = optax.apply_updates(
+                    state.params_d, apply_lr(upd_d, self.lr_d(step))
+                )
+                new_params_d = _tree_select(d_on, new_params_d,
+                                            state.params_d)
+                new_opt_d = _tree_select(d_on, new_opt_d, state.opt_d)
+                new_stats_d = _tree_select(d_on, new_stats_d, state.stats_d)
+                logs.update(d_logs)
+            else:
+                new_params_d, new_opt_d = state.params_d, state.opt_d
+                new_stats_d = state.stats_d
+
+            new_state = state.replace(
+                step=step + 1,
+                params_g=new_params_g,
+                params_m=new_params_m,
+                params_d=new_params_d,
+                stats_m=new_stats_m,
+                stats_d=new_stats_d,
+                ema_g=new_ema,
+                opt_g=new_opt_g,
+                opt_m=new_opt_m,
+                opt_d=new_opt_d,
+            )
+            return new_state, logs
+
+        return train_step
+
+
+def _strip(cfg: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    """Drop the 'type' key from a loss option dict (build by class here).
+    Unlike the reference's setup_optimizers, this does NOT mutate the
+    config (the reference's .pop makes configs single-use —
+    SURVEY.md section 5.6 quirk, deliberately not reproduced)."""
+    cfg = dict(cfg or {})
+    cfg.pop("type", None)
+    return cfg
