@@ -16,12 +16,21 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/samt_jax_cache")
 
 import numpy as np
 
 
 def main():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from synergize_motion_appearance_tpu.inference import ReenactmentPipeline
     from synergize_motion_appearance_tpu.models import build_network
@@ -42,10 +51,13 @@ def main():
 
     s = jnp.asarray(source)
     d0 = jnp.asarray(driving[:1])
-    m_vars = motion_estimator.init(jax.random.PRNGKey(0), d0, s)
-    dense_motion = motion_estimator.apply(m_vars, d0, s)
-    g_vars = net_g.init(jax.random.PRNGKey(1), s, dense_motion,
-                        inference=True)
+    # jit the init path too: eager per-op dispatch is pathological over
+    # remote-TPU links
+    m_vars = jax.jit(motion_estimator.init)(jax.random.PRNGKey(0), d0, s)
+    dense_motion = jax.jit(motion_estimator.apply)(m_vars, d0, s)
+    g_vars = jax.jit(
+        lambda k, s_, dm: net_g.init(k, s_, dm, inference=True)
+    )(jax.random.PRNGKey(1), s, dense_motion)
 
     pipeline = ReenactmentPipeline(
         net_g, motion_estimator, g_vars, m_vars,

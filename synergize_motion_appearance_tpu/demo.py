@@ -37,9 +37,12 @@ def build_and_load(config):
     dummy_s = jnp.zeros((1, img_size, img_size, 3))
     dummy_d = jnp.zeros((1, img_size, img_size, 3))
     rng = jax.random.PRNGKey(0)
-    m_vars = motion_estimator.init(rng, dummy_d, dummy_s)
-    dense_motion = motion_estimator.apply(m_vars, dummy_d, dummy_s)
-    g_vars = net_g.init(rng, dummy_s, dense_motion, inference=True)
+    # jit init/apply — eager dispatch is pathological on remote TPU links
+    m_vars = jax.jit(motion_estimator.init)(rng, dummy_d, dummy_s)
+    dense_motion = jax.jit(motion_estimator.apply)(m_vars, dummy_d, dummy_s)
+    g_vars = jax.jit(
+        lambda k, s, dm: net_g.init(k, s, dm, inference=True)
+    )(rng, dummy_s, dense_motion)
 
     if g_path:
         params = load_params(g_path, path_cfg.get("param_key_g", "params_ema"))
@@ -64,6 +67,9 @@ def main(argv=None):
     parser.add_argument("--find_best_frame", action="store_true")
     parser.add_argument("--best_frame", type=int, default=None)
     parser.add_argument("--frame_batch", type=int, default=8)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 inference (fastest on TPU; "
+                             "default float32 for exact parity)")
     parser.add_argument("--audio", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     opt = parser.parse_args(argv)
@@ -95,10 +101,13 @@ def main(argv=None):
     ]).astype(np.float32)
 
     net_g, motion_estimator, g_vars, m_vars = build_and_load(config)
+    import jax.numpy as jnp
+
     pipeline = ReenactmentPipeline(
         net_g, motion_estimator, g_vars, m_vars,
         relative=opt.relative, adapt_scale=opt.adapt_scale,
         frame_batch=opt.frame_batch,
+        compute_dtype=jnp.bfloat16 if opt.bf16 else None,
     )
 
     if opt.find_best_frame or opt.best_frame is not None:

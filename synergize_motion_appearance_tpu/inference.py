@@ -65,38 +65,69 @@ class ReenactmentPipeline:
 
     def __init__(self, net_g, motion_estimator, g_vars, m_vars,
                  relative: bool = False, adapt_scale: bool = False,
-                 frame_batch: int = 8, w: float = 1.0):
+                 frame_batch: int = 8, w: float = 1.0,
+                 compute_dtype=jnp.bfloat16):
         self.net_g = net_g
         self.motion_estimator = motion_estimator
-        self.g_vars = g_vars
-        self.m_vars = m_vars
         self.relative = relative
         self.adapt_scale = adapt_scale
         self.frame_batch = frame_batch
         self.w = w
+        self.compute_dtype = compute_dtype
+
+        def cast(tree):
+            if compute_dtype is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, "astype") and a.dtype == jnp.float32 else a,
+                tree,
+            )
+
+        # bf16 weights/activations: MXU-native inference precision
+        self.g_vars = cast(g_vars)
+        self.m_vars = cast(m_vars)
 
         # params are jit ARGUMENTS (not closure constants) so the compiled
         # executables stay small and weights can be swapped without
         # recompiling
         self._kp_jit = jax.jit(self._kp_impl)
         self._gen_jit = jax.jit(self._gen_impl)
+        self._enc_jit = jax.jit(self._enc_impl)
 
     def _kp_fn(self, images):
+        if self.compute_dtype is not None:
+            images = images.astype(self.compute_dtype)
         return self._kp_jit(self.m_vars, images)
 
-    def _gen_fn(self, source, kp_source, kp_driving, kp_initial):
-        return self._gen_jit(self.g_vars, self.m_vars, source, kp_source,
-                             kp_driving, kp_initial)
+    def _enc_fn(self, source):
+        if self.compute_dtype is not None:
+            source = source.astype(self.compute_dtype)
+        return self._enc_jit(self.g_vars, source)
+
+    def _gen_fn(self, source, src_feats, kp_source, kp_driving, kp_initial):
+        if self.compute_dtype is not None:
+            source = source.astype(self.compute_dtype)
+        return self._gen_jit(self.g_vars, self.m_vars, source, src_feats,
+                             kp_source, kp_driving, kp_initial)
 
     # -------------------- jitted stages --------------------
 
     def _kp_impl(self, m_vars, images):
-        return self.motion_estimator.apply(
+        kp = self.motion_estimator.apply(
             m_vars, images, method="estimate_kp", train=False
         )
+        # keep kp math (hull areas, jacobian inverses) in f32
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), kp
+        )
 
-    def _gen_impl(self, g_vars, m_vars, source, kp_source, kp_driving,
-                  kp_driving_initial):
+    def _enc_impl(self, g_vars, source):
+        """Source encoder sweep — once per source, not per frame batch."""
+        return self.net_g.apply(g_vars, source, method="encode_source")
+
+    def _gen_impl(self, g_vars, m_vars, source, src_feats, kp_source,
+                  kp_driving, kp_driving_initial):
         """source: (1,H,W,3); kp_driving batched (F,...). Returns (F,H,W,3)."""
         F = kp_driving["value"].shape[0]
         kp_norm = normalize_kp_jnp(
@@ -109,14 +140,22 @@ class ReenactmentPipeline:
         kp_src = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (F,) + x.shape[1:]), kp_source
         )
+        if self.compute_dtype is not None:
+            kp_norm = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype), kp_norm
+            )
+            kp_src = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype), kp_src
+            )
         dense_motion = self.motion_estimator.apply(
             m_vars, kp_src, kp_norm, src,
             method="estimate_motion_w_kp", train=False,
         )
         out = self.net_g.apply(
-            g_vars, src, dense_motion, w=self.w, inference=True
+            g_vars, source, dense_motion, w=self.w, inference=True,
+            source_feats=src_feats,
         )
-        return out["out"]
+        return out["out"].astype(jnp.float32)
 
     # -------------------- host orchestration --------------------
 
@@ -147,8 +186,13 @@ class ReenactmentPipeline:
             lambda *xs: jnp.concatenate(xs, axis=0)[:F], *kp_parts
         )
 
-        # batched generation
+        # source features once per source (not per frame batch)
+        src_feats = self._enc_fn(source)
+
+        # batched generation — dispatch all chunks asynchronously first so
+        # device compute overlaps host<->device transfers, then fetch
         outs = []
+        counts = []
         fb = self.frame_batch
         for s in range(0, F, fb):
             kp_chunk = jax.tree_util.tree_map(
@@ -162,9 +206,12 @@ class ReenactmentPipeline:
                     ),
                     kp_chunk,
                 )
-            out = self._gen_fn(source, kp_source, kp_chunk, kp_initial)
-            outs.append(np.asarray(out[:n]))
-        return np.concatenate(outs, axis=0)
+            outs.append(self._gen_fn(source, src_feats, kp_source,
+                                     kp_chunk, kp_initial))
+            counts.append(n)
+        return np.concatenate(
+            [np.asarray(o[:n]) for o, n in zip(outs, counts)], axis=0
+        )
 
     def animate_with_anchor(self, source_np, driving_np,
                             anchor_idx: int) -> np.ndarray:

@@ -17,6 +17,12 @@ from .vqgan import (
 )
 from .appmotion_former import AppMotionCompFormer
 from .transformer import TransformerLayer, MultiheadAttention
+from .vqgan_extras import (
+    AutoEncoderMSDecoder,
+    FuseFeatBlock,
+    GumbelQuantizer,
+    MSGenerator,
+)
 
 from ..utils.registry import ARCH_REGISTRY
 
@@ -31,8 +37,10 @@ for _cls in (
 ):
     ARCH_REGISTRY.register(_cls)
 
-# reference-compat alias (archs/motion_estimator_arch.py:15)
+# reference-compat aliases (archs/motion_estimator_arch.py:15,
+# archs/vqgan_arch.py:629)
 ARCH_REGISTRY.register(MotionEstimator, name="Motion_Estimator_keypoint_aware")
+ARCH_REGISTRY.register(AutoEncoderMSDecoder, name="AutoEncoder_MSDecoder")
 
 
 def build_network(opt: Dict[str, Any]):

@@ -567,6 +567,20 @@ class AppMotionCompFormer(nn.Module):
                 feats[x.shape[1]] = x
         return feats
 
+    def encode_source(self, x):
+        """One encoder sweep -> {'latent', 'feats'}; pass the result as
+        `source_feats` to __call__ to skip re-encoding the same source for
+        every driving-frame batch (TPU inference optimization — the
+        reference re-runs the encoder per frame at batch 1). Batch-1 feats
+        broadcast against batch-F flows inside grid_sample for free."""
+        enc_tap_idx = {self.enc_taps[r]: r for r in self.connect}
+        feats = {}
+        for i, block in enumerate(self.encoder_blocks):
+            x = block(x)
+            if i in enc_tap_idx:
+                feats[enc_tap_idx[i]] = x
+        return {"latent": x, "feats": feats}
+
     def decode_latent(self, lq_feat):
         """Plain generator sweep of a 32x32 latent (net_g.generator(...),
         used for the lq reconstruction visual — appmotioncomp_model.py:454)."""
@@ -578,25 +592,29 @@ class AppMotionCompFormer(nn.Module):
     # ---------------- full forward ----------------
 
     def __call__(self, x, dense_motion, w: float = 1.0,
-                 inference: bool = False, gt=None):
+                 inference: bool = False, gt=None, source_feats=None):
         if x.shape[1] != self.img_size or x.shape[2] != self.img_size:
             raise ValueError(
                 f"AppMotionCompFormer(img_size={self.img_size}) got source "
                 f"of shape {x.shape}; resize inputs to "
                 f"({self.img_size}, {self.img_size}) first."
             )
-        B = x.shape[0]
+        B = dense_motion["deformation"].shape[0]
         t = self.token_hw
         connect = self.connect
         enc_tap_idx = {self.enc_taps[r]: r for r in connect}
 
-        # encoder sweep with skip taps (:549-554)
-        enc_feat_dict = {}
-        for i, block in enumerate(self.encoder_blocks):
-            x = block(x)
-            if i in enc_tap_idx:
-                enc_feat_dict[enc_tap_idx[i]] = x
-        # x is now the 32x32 latent (emb_dim_app channels)
+        if source_feats is None:
+            # encoder sweep with skip taps (:549-554)
+            enc_feat_dict = {}
+            for i, block in enumerate(self.encoder_blocks):
+                x = block(x)
+                if i in enc_tap_idx:
+                    enc_feat_dict[enc_tap_idx[i]] = x
+            # x is now the 32x32 latent (emb_dim_app channels)
+        else:
+            enc_feat_dict = source_feats["feats"]
+            x = source_feats["latent"]
 
         deformation = dense_motion["deformation"]  # (B, Hd, Wd, 2)
         Hd, Wd = deformation.shape[1:3]

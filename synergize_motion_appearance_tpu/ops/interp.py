@@ -83,6 +83,8 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    Bg = grid.shape[0]
+
     def gather(iy_, ix_):
         """Gather img[b, iy_, ix_, :] with zero weight for OOB corners."""
         if padding_mode == "zeros":
@@ -91,10 +93,17 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
             valid = None
         xc = jnp.clip(ix_, 0, W - 1).astype(jnp.int32)
         yc = jnp.clip(iy_, 0, H - 1).astype(jnp.int32)
-        flat_idx = (yc * W + xc).reshape(B, -1)  # (B, Hg*Wg)
-        img_flat = img.reshape(B, H * W, C)
-        out = jnp.take_along_axis(img_flat, flat_idx[..., None], axis=1)
-        out = out.reshape(B, *ix_.shape[1:], C)
+        if B == 1 and Bg > 1:
+            # broadcast fast path: many grids over one image — gather from
+            # the single image without materializing Bg copies
+            flat_idx = (yc * W + xc).reshape(-1)  # (Bg*Hg*Wg,)
+            out = jnp.take(img.reshape(H * W, C), flat_idx, axis=0)
+            out = out.reshape(Bg, *ix_.shape[1:], C)
+        else:
+            flat_idx = (yc * W + xc).reshape(B, -1)  # (B, Hg*Wg)
+            img_flat = img.reshape(B, H * W, C)
+            out = jnp.take_along_axis(img_flat, flat_idx[..., None], axis=1)
+            out = out.reshape(B, *ix_.shape[1:], C)
         if valid is not None:
             out = out * valid[..., None].astype(out.dtype)
         return out
@@ -119,14 +128,16 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
 
 @functools.lru_cache(maxsize=256)
 def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
-    """Dense (out_size, in_size) 1-D linear interpolation matrix.
+    """Dense (out_size, in_size) 1-D linear interpolation matrix (numpy —
+    NEVER cache jnp arrays: under jit they are staged constants/tracers
+    and leak across traces).
 
     Matches torch F.interpolate(mode='bilinear') source-coordinate math.
     """
     m = np.zeros((out_size, in_size), dtype=np.float32)
     if in_size == 1:
         m[:, 0] = 1.0
-        return jnp.asarray(m)
+        return m
     for o in range(out_size):
         if align_corners:
             if out_size == 1:
@@ -141,7 +152,7 @@ def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
         w = src - lo
         m[o, lo] += 1.0 - w
         m[o, hi] += w
-    return jnp.asarray(m)
+    return m
 
 
 def resize_bilinear(x, out_hw, align_corners=True):

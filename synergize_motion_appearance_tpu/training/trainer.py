@@ -180,11 +180,17 @@ class Trainer:
         source = sample_batch["source"]
         gt = sample_batch["driving"]
         k1, k2, k3, k4 = jax.random.split(rng, 4)
-        vars_m = self.motion_estimator.init(k1, gt, source)
-        dense_motion = self.motion_estimator.apply(vars_m, gt, source)
-        vars_g = self.net_g.init(k2, source, dense_motion, gt=gt)
-        vars_d = self.net_d.init(k3, gt)
-        vgg_params = self.vgg.init(k4, gt)["params"]
+        # jit the init path: eager per-op dispatch is pathological on
+        # remote-TPU links and slow everywhere
+        vars_m = jax.jit(self.motion_estimator.init)(k1, gt, source)
+        dense_motion = jax.jit(self.motion_estimator.apply)(
+            vars_m, gt, source
+        )
+        vars_g = jax.jit(
+            lambda k, s, dm, g: self.net_g.init(k, s, dm, gt=g)
+        )(k2, source, dense_motion, gt)
+        vars_d = jax.jit(self.net_d.init)(k3, gt)
+        vgg_params = jax.jit(self.vgg.init)(k4, gt)["params"]
 
         params_g = vars_g["params"]
         state = TrainState(

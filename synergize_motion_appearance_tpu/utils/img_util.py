@@ -105,6 +105,38 @@ def mimsave(frames: Sequence[np.ndarray], file_path: str, fps: int = 25):
     writer.release()
 
 
+def grad_layer(x):
+    """Sobel gradient magnitude map (parity target: GradLayer,
+    utils/img_util.py:254-294): grayscale -> |sobel_x| + |sobel_y|.
+    x: (B,H,W,C) jnp array; returns (B,H,W,1)."""
+    import jax
+    import jax.numpy as jnp
+
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
+                     x.dtype).reshape(3, 3, 1, 1)
+    ky = jnp.transpose(kx, (1, 0, 2, 3))
+
+    def conv(img, k):
+        return jax.lax.conv_general_dilated(
+            img, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    return jnp.abs(conv(gray, kx)) + jnp.abs(conv(gray, ky))
+
+
+def show_feature_map(feat: np.ndarray) -> np.ndarray:
+    """Mean-over-channels feature visualization as uint8 heatmap
+    (utils/img_util.py feature-map visualizer)."""
+    f = np.asarray(feat)
+    if f.ndim == 4:
+        f = f[0]
+    m = f.mean(axis=-1)
+    m = (m - m.min()) / (m.max() - m.min() + 1e-8)
+    return (m * 255).astype(np.uint8)
+
+
 def read_video_frames(path: str, size: Optional[Tuple[int, int]] = None
                       ) -> Tuple[List[np.ndarray], float]:
     """Read a video (mp4/gif/frame-folder) -> (list of RGB uint8 frames,
