@@ -36,7 +36,7 @@ def main():
     from synergize_motion_appearance_tpu.models import build_network
     from __graft_entry__ import _flagship_config
 
-    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "16"))
+    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "32"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
 
     cfg = _flagship_config(256)
@@ -44,13 +44,15 @@ def main():
     motion_estimator = build_network(cfg["network_motion_estimator"])
 
     rng = np.random.RandomState(0)
-    source = (rng.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
-    driving = (rng.rand(n_frames, 256, 256, 3).astype(np.float32) * 2 - 1)
+    # uint8 RGB in/out — the production video-frame interface (decoders
+    # emit uint8; writers consume uint8); normalization runs on device
+    source = (rng.rand(1, 256, 256, 3) * 255).astype(np.uint8)
+    driving = (rng.rand(n_frames, 256, 256, 3) * 255).astype(np.uint8)
 
     import jax.numpy as jnp
 
-    s = jnp.asarray(source)
-    d0 = jnp.asarray(driving[:1])
+    s = jnp.asarray(source, jnp.float32) / 127.5 - 1.0
+    d0 = jnp.asarray(driving[:1], jnp.float32) / 127.5 - 1.0
     # jit the init path too: eager per-op dispatch is pathological over
     # remote-TPU links
     m_vars = jax.jit(motion_estimator.init)(jax.random.PRNGKey(0), d0, s)
@@ -62,6 +64,7 @@ def main():
     pipeline = ReenactmentPipeline(
         net_g, motion_estimator, g_vars, m_vars,
         relative=True, adapt_scale=True, frame_batch=frame_batch,
+        u8_io=True, host_kp_downsample=True,
     )
 
     # warmup (compile)
@@ -71,7 +74,7 @@ def main():
     preds = pipeline.animate(source, driving)
     t1 = time.perf_counter()
     assert preds.shape[0] == n_frames
-    assert np.isfinite(preds).all()
+    assert preds.dtype == np.uint8
 
     fps = n_frames / (t1 - t0)
     print(json.dumps({

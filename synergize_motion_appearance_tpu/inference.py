@@ -66,7 +66,8 @@ class ReenactmentPipeline:
     def __init__(self, net_g, motion_estimator, g_vars, m_vars,
                  relative: bool = False, adapt_scale: bool = False,
                  frame_batch: int = 8, w: float = 1.0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, u8_io: bool = False,
+                 host_kp_downsample: bool = False):
         self.net_g = net_g
         self.motion_estimator = motion_estimator
         self.relative = relative
@@ -74,6 +75,13 @@ class ReenactmentPipeline:
         self.frame_batch = frame_batch
         self.w = w
         self.compute_dtype = compute_dtype
+        self.u8_io = u8_io  # uint8 across the host link, both directions
+        # pre-blur+stride driving frames to the kp detector's working
+        # resolution on the host (identical math) — 16x less kp traffic
+        self.host_kp_downsample = host_kp_downsample
+        self.kp_scale = motion_estimator.kp_detector_params.get(
+            "scale_factor", 1.0
+        ) if host_kp_downsample else 1.0
 
         def cast(tree):
             if compute_dtype is None:
@@ -91,31 +99,46 @@ class ReenactmentPipeline:
         # params are jit ARGUMENTS (not closure constants) so the compiled
         # executables stay small and weights can be swapped without
         # recompiling
-        self._kp_jit = jax.jit(self._kp_impl)
+        self._kp_jit = jax.jit(self._kp_impl, static_argnums=(2,))
         self._gen_jit = jax.jit(self._gen_impl)
         self._enc_jit = jax.jit(self._enc_impl)
 
-    def _kp_fn(self, images):
-        if self.compute_dtype is not None:
-            images = images.astype(self.compute_dtype)
-        return self._kp_jit(self.m_vars, images)
+    def _normalize_in(self, images):
+        """Inside-jit: uint8 RGB -> model domain [-1, 1]. uint8 crosses the
+        host link untouched (4x fewer bytes than float32 — the H2D pipe is
+        usually the reenactment bottleneck); normalization runs on device."""
+        dt = self.compute_dtype or jnp.float32
+        if images.dtype == jnp.uint8:
+            return images.astype(dt) * (2.0 / 255.0) - 1.0
+        return images.astype(dt)
+
+    def _kp_fn(self, images, pre_downsampled: bool = False):
+        return self._kp_jit(self.m_vars, jnp.asarray(images),
+                            pre_downsampled)
+
+    def _host_kp_prep(self, frames_np: np.ndarray) -> np.ndarray:
+        """uint8/float frames -> normalized f32 at kp working resolution."""
+        from .ops.coords import antialias_downsample_host
+
+        f = np.asarray(frames_np)
+        if f.dtype == np.uint8:
+            f = f.astype(np.float32) * (2.0 / 255.0) - 1.0
+        return antialias_downsample_host(f, self.kp_scale)
 
     def _enc_fn(self, source):
-        if self.compute_dtype is not None:
-            source = source.astype(self.compute_dtype)
-        return self._enc_jit(self.g_vars, source)
+        return self._enc_jit(self.g_vars, jnp.asarray(source))
 
     def _gen_fn(self, source, src_feats, kp_source, kp_driving, kp_initial):
-        if self.compute_dtype is not None:
-            source = source.astype(self.compute_dtype)
-        return self._gen_jit(self.g_vars, self.m_vars, source, src_feats,
-                             kp_source, kp_driving, kp_initial)
+        return self._gen_jit(self.g_vars, self.m_vars, jnp.asarray(source),
+                             src_feats, kp_source, kp_driving, kp_initial)
 
     # -------------------- jitted stages --------------------
 
-    def _kp_impl(self, m_vars, images):
+    def _kp_impl(self, m_vars, images, pre_downsampled: bool = False):
+        images = self._normalize_in(images)
         kp = self.motion_estimator.apply(
-            m_vars, images, method="estimate_kp", train=False
+            m_vars, images, method="estimate_kp", train=False,
+            pre_downsampled=pre_downsampled,
         )
         # keep kp math (hull areas, jacobian inverses) in f32
         return jax.tree_util.tree_map(
@@ -124,11 +147,15 @@ class ReenactmentPipeline:
 
     def _enc_impl(self, g_vars, source):
         """Source encoder sweep — once per source, not per frame batch."""
-        return self.net_g.apply(g_vars, source, method="encode_source")
+        return self.net_g.apply(g_vars, self._normalize_in(source),
+                                method="encode_source")
 
     def _gen_impl(self, g_vars, m_vars, source, src_feats, kp_source,
                   kp_driving, kp_driving_initial):
-        """source: (1,H,W,3); kp_driving batched (F,...). Returns (F,H,W,3)."""
+        """source: (1,H,W,3); kp_driving batched (F,...). Returns
+        (F,H,W,3) — uint8 RGB when the pipeline is in u8 IO mode (keeps
+        the D2H link at 1/4 the bytes), else float32 [-1,1]."""
+        source = self._normalize_in(source)
         F = kp_driving["value"].shape[0]
         kp_norm = normalize_kp_jnp(
             kp_source, kp_driving, kp_driving_initial,
@@ -154,8 +181,11 @@ class ReenactmentPipeline:
         out = self.net_g.apply(
             g_vars, source, dense_motion, w=self.w, inference=True,
             source_feats=src_feats,
-        )
-        return out["out"].astype(jnp.float32)
+        )["out"]
+        if self.u8_io:
+            out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
+            return jnp.round((out + 1.0) * 127.5).astype(jnp.uint8)
+        return out.astype(jnp.float32)
 
     # -------------------- host orchestration --------------------
 
@@ -168,20 +198,28 @@ class ReenactmentPipeline:
         Returns (F,H,W,3) predictions in [-1,1] float32."""
         F = driving_np.shape[0]
         source = jnp.asarray(source_np)
-        kp_source = self._kp_fn(source)
-        kp_initial = self._kp_fn(jnp.asarray(driving_np[:1]))
+        if self.host_kp_downsample:
+            kp_frames = self._host_kp_prep(driving_np)
+            kp_source = self._kp_fn(self._host_kp_prep(source_np), True)
+            kp_initial = self._kp_fn(kp_frames[:1], True)
+        else:
+            kp_frames = driving_np
+            kp_source = self._kp_fn(source)
+            kp_initial = self._kp_fn(np.asarray(driving_np[:1]))
 
         # batched kp extraction over all frames (pad to full batches so a
         # single compiled shape serves any video length)
         kp_parts = []
         for s in range(0, F, kp_batch):
-            chunk = driving_np[s:s + kp_batch]
+            chunk = kp_frames[s:s + kp_batch]
             pad = kp_batch - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)]
                 )
-            kp_parts.append(self._kp_fn(jnp.asarray(chunk)))
+            kp_parts.append(
+                self._kp_fn(chunk, self.host_kp_downsample)
+            )
         kp_driving = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0)[:F], *kp_parts
         )

@@ -159,8 +159,9 @@ class MotionEstimator(nn.Module):
             **self.common_params, **self.dense_motion_params
         )
 
-    def estimate_kp(self, image, train: bool = False):
-        return self.kp_detector(image, train)
+    def estimate_kp(self, image, train: bool = False,
+                    pre_downsampled: bool = False):
+        return self.kp_detector(image, train, pre_downsampled)
 
     def estimate_motion_w_kp(self, kp_source, kp_driving, source_image,
                              train: bool = False):

@@ -36,11 +36,14 @@ class KPDetector(nn.Module):
     pad: int = 0
 
     @nn.compact
-    def __call__(self, image, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(self, image, train: bool = False,
+                 pre_downsampled: bool = False) -> Dict[str, jnp.ndarray]:
         """image: (B, H, W, 3) in [-1, 1]. Returns {'value': (B,K,2),
-        'jacobian': (B,K,2,2)}."""
+        'jacobian': (B,K,2,2)}. pre_downsampled=True skips the anti-alias
+        pyramid (caller already applied the identical blur+stride — used
+        to shrink host->device keypoint traffic 16x)."""
         x = image
-        if self.scale_factor != 1:
+        if self.scale_factor != 1 and not pre_downsampled:
             x = antialias_downsample(x, self.scale_factor)
 
         feature_map = Hourglass(

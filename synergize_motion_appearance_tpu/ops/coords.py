@@ -92,6 +92,31 @@ def antialias_downsample(x, scale: float):
     return out[:, ::s, ::s, :]
 
 
+def antialias_downsample_host(frames: "np.ndarray", scale: float
+                              ) -> "np.ndarray":
+    """Host-side (numpy/cv2) version of antialias_downsample with the
+    exact same kernel/pad/stride — lets inference pipelines ship 64x64
+    keypoint inputs instead of full frames over slow host<->device links.
+
+    frames: (F, H, W, C) float32 (already normalized). Returns
+    (F, H/s, W/s, C) float32.
+    """
+    if scale == 1.0:
+        return frames
+    import cv2
+
+    k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
+    out = []
+    for f in frames:
+        padded = np.pad(f, ((ka, kb), (ka, kb), (0, 0)))
+        blurred = cv2.filter2D(padded, -1, k2,
+                               borderType=cv2.BORDER_CONSTANT)
+        # valid region after explicit zero pad
+        blurred = blurred[ka:-kb or None, ka:-kb or None]
+        out.append(blurred[::s, ::s])
+    return np.stack(out)
+
+
 def convex_hull_area(points):
     """Area of the convex hull of 2-D points, differentiable-free jnp impl.
 
