@@ -36,7 +36,7 @@ def main():
     from synergize_motion_appearance_tpu.models import build_network
     from __graft_entry__ import _flagship_config
 
-    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "32"))
+    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "64"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
 
     cfg = _flagship_config(256)

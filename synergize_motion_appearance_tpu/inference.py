@@ -117,13 +117,17 @@ class ReenactmentPipeline:
                             pre_downsampled)
 
     def _host_kp_prep(self, frames_np: np.ndarray) -> np.ndarray:
-        """uint8/float frames -> normalized f32 at kp working resolution."""
+        """uint8/float frames -> normalized frames at the kp working
+        resolution, in bf16 (halves upload bytes; kp math upcasts)."""
+        import ml_dtypes
+
         from .ops.coords import antialias_downsample_host
 
         f = np.asarray(frames_np)
         if f.dtype == np.uint8:
             f = f.astype(np.float32) * (2.0 / 255.0) - 1.0
-        return antialias_downsample_host(f, self.kp_scale)
+        small = antialias_downsample_host(f, self.kp_scale)
+        return small.astype(ml_dtypes.bfloat16)
 
     def _enc_fn(self, source):
         return self._enc_jit(self.g_vars, jnp.asarray(source))
@@ -163,7 +167,6 @@ class ReenactmentPipeline:
             use_relative_movement=self.relative,
             use_relative_jacobian=self.relative,
         )
-        src = jnp.broadcast_to(source, (F,) + source.shape[1:])
         kp_src = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (F,) + x.shape[1:]), kp_source
         )
@@ -174,9 +177,18 @@ class ReenactmentPipeline:
             kp_src = jax.tree_util.tree_map(
                 lambda a: a.astype(self.compute_dtype), kp_src
             )
+        # downsample the shared source ONCE (batch 1); dense motion
+        # broadcasts it against the F per-frame keypoint sets
+        from .ops import antialias_downsample
+
+        dm_scale = self.motion_estimator.dense_motion_params.get(
+            "scale_factor", 1.0
+        )
+        src_down = antialias_downsample(source, dm_scale)
         dense_motion = self.motion_estimator.apply(
-            m_vars, kp_src, kp_norm, src,
+            m_vars, kp_src, kp_norm, src_down,
             method="estimate_motion_w_kp", train=False,
+            pre_downsampled=True,
         )
         out = self.net_g.apply(
             g_vars, source, dense_motion, w=self.w, inference=True,
@@ -247,9 +259,15 @@ class ReenactmentPipeline:
             outs.append(self._gen_fn(source, src_feats, kp_source,
                                      kp_chunk, kp_initial))
             counts.append(n)
-        return np.concatenate(
-            [np.asarray(o[:n]) for o, n in zip(outs, counts)], axis=0
-        )
+        # fetch concurrently: D2H of chunk k streams while later chunks
+        # still compute (and multiple streams share the host link)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            host = list(pool.map(
+                lambda on: np.asarray(on[0][:on[1]]), zip(outs, counts)
+            ))
+        return np.concatenate(host, axis=0)
 
     def animate_with_anchor(self, source_np, driving_np,
                             anchor_idx: int) -> np.ndarray:

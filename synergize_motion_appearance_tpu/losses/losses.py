@@ -174,6 +174,155 @@ class MultiScalePyramidPerceptualLoss:
         return total
 
 
+@LOSS_REGISTRY.register(name="PerceptualLoss")
+class PerceptualLoss:
+    """Named-layer VGG perceptual + optional Gram-style loss
+    (losses.py:180-289). layer indices follow the 5-slice taps of our
+    VGG19Features: {'relu1_1':0, ..., 'relu5_1':4}."""
+
+    _LAYER_IDX = {"relu1_1": 0, "relu2_1": 1, "relu3_1": 2,
+                  "relu4_1": 3, "relu5_1": 4,
+                  "conv1_2": 0, "conv2_2": 1, "conv3_4": 2,
+                  "conv4_4": 3, "conv5_4": 4}
+
+    def __init__(self, vgg_apply, layer_weights, perceptual_weight=1.0,
+                 style_weight=0.0, criterion="l1", range_norm=False,
+                 **_):
+        self.vgg_apply = vgg_apply
+        self.layer_weights = dict(layer_weights)
+        self.perceptual_weight = perceptual_weight
+        self.style_weight = style_weight
+        self.criterion = criterion
+        self.range_norm = range_norm
+
+    def _crit(self, a, b):
+        if self.criterion == "l1":
+            return jnp.mean(jnp.abs(a - b))
+        if self.criterion in ("l2", "mse"):
+            return jnp.mean((a - b) ** 2)
+        if self.criterion == "fro":
+            return jnp.linalg.norm((a - b).reshape(-1))
+        raise NotImplementedError(self.criterion)
+
+    @staticmethod
+    def _gram(x):
+        b, h, w, c = x.shape
+        f = x.reshape(b, h * w, c)
+        return jnp.einsum("bnc,bnd->bcd", f, f) / (c * h * w)
+
+    def __call__(self, vgg_params, x, gt):
+        if self.range_norm:
+            x = (x + 1) / 2
+            gt = (gt + 1) / 2
+        xf = self.vgg_apply(vgg_params, x)
+        gf = [jax.lax.stop_gradient(f)
+              for f in self.vgg_apply(vgg_params, gt)]
+        percep = 0.0
+        style = 0.0
+        for name, w in self.layer_weights.items():
+            i = self._LAYER_IDX.get(name)
+            if i is None:
+                continue
+            if self.perceptual_weight > 0:
+                percep += self._crit(xf[i], gf[i]) * w
+            if self.style_weight > 0:
+                style += self._crit(self._gram(xf[i]),
+                                    self._gram(gf[i])) * w
+        return (percep * self.perceptual_weight,
+                style * self.style_weight if self.style_weight > 0
+                else None)
+
+
+@LOSS_REGISTRY.register(name="LPIPSLoss")
+class LPIPSLoss:
+    """LPIPS training loss (losses.py:389-415). Needs the external lpips
+    weights; raises a clear error without them."""
+
+    def __init__(self, loss_weight=1.0, **_):
+        raise NotImplementedError(
+            "LPIPSLoss needs the external lpips VGG weights (unavailable "
+            "in zero-egress images). Use MultiScalePyramidPerceptualLoss "
+            "(the flagship config's perceptual term) or provide converted "
+            "lpips weights."
+        )
+
+
+@LOSS_REGISTRY.register(name="TPSM_EquivarianceLoss")
+class TPSM_EquivarianceLoss:
+    """TPS-motion-model variant (losses.py:562-581): value-only, on
+    'fg_kp' keypoints."""
+
+    def __init__(self, loss_weight=1.0, transform_params=None):
+        self.loss_weight = loss_weight
+        self.transform_params = transform_params
+
+    def __call__(self, kp_driving, transformed_kp, tps_params):
+        warped = tps_warp_coordinates(tps_params, transformed_kp["fg_kp"])
+        return self.loss_weight * jnp.mean(
+            jnp.abs(kp_driving["fg_kp"] - warped)
+        )
+
+
+@LOSS_REGISTRY.register(name="TPSM_BGLoss")
+class TPSM_BGLoss:
+    """Background-transform consistency (losses.py:583-594)."""
+
+    def __init__(self, loss_weight=1.0):
+        self.loss_weight = loss_weight
+
+    def __call__(self, bg_param, bg_param_reverse):
+        value = jnp.matmul(bg_param, bg_param_reverse)
+        eye = jnp.eye(3).reshape(1, 1, 3, 3)
+        return self.loss_weight * jnp.mean(jnp.abs(eye - value))
+
+
+def r1_penalty(d_apply, real_img):
+    """R1 gradient penalty (losses.py:618-632): ||d D(x)/dx||^2 on reals.
+    d_apply: img -> scalar-sum prediction."""
+    grad = jax.grad(lambda x: jnp.sum(d_apply(x)))(real_img)
+    return jnp.mean(jnp.sum(grad.reshape(grad.shape[0], -1) ** 2, axis=1))
+
+
+def g_path_regularize(fake_img, latents_grad_fn, mean_path_length,
+                      rng, decay=0.01):
+    """StyleGAN2 path-length regularization (losses.py:635-644).
+    latents_grad_fn(noise) -> d(sum(fake*noise))/d latents."""
+    import math
+
+    noise = jax.random.normal(rng, fake_img.shape) / math.sqrt(
+        fake_img.shape[1] * fake_img.shape[2]
+    )
+    grad = latents_grad_fn(noise)
+    path_lengths = jnp.sqrt(
+        jnp.mean(jnp.sum(grad ** 2, axis=2), axis=1)
+    )
+    path_mean = mean_path_length + decay * (
+        jnp.mean(path_lengths) - mean_path_length
+    )
+    penalty = jnp.mean((path_lengths - path_mean) ** 2)
+    return penalty, jax.lax.stop_gradient(jnp.mean(path_lengths)), \
+        jax.lax.stop_gradient(path_mean)
+
+
+def gradient_penalty_loss(d_apply, real_data, fake_data, rng, weight=None):
+    """WGAN-GP gradient penalty (losses.py:647-683)."""
+    alpha = jax.random.uniform(rng, (real_data.shape[0], 1, 1, 1))
+    interp = alpha * real_data + (1 - alpha) * fake_data
+
+    def d_sum(x):
+        return jnp.sum(d_apply(x))
+
+    grad = jax.grad(d_sum)(interp)
+    if weight is not None:
+        grad = grad * weight
+    gp = jnp.mean(
+        (jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=1) - 1) ** 2
+    )
+    if weight is not None:
+        gp = gp / jnp.mean(weight)
+    return gp
+
+
 @LOSS_REGISTRY.register(name="EquivarianceLoss")
 class EquivarianceLoss:
     """Keypoint equivariance under random TPS (losses.py:523-560).

@@ -678,7 +678,9 @@ class AppMotionCompFormer(nn.Module):
 
         m_com = motion_list[-1]
         lq_feat = occlude_input(deform_input(x, m_com), occ0)
-        deform_feat_list = [
+        # deform_feat_list duplicates every warp with stop_gradient for
+        # telemetry (:609-615) — training-only; skip at inference
+        deform_feat_list = [] if inference else [
             occlude_input(deform_input(sg(x), m_com), sg(occ0))
         ]
         app_before_comp_list = [lq_feat]
@@ -718,9 +720,11 @@ class AppMotionCompFormer(nn.Module):
                 enc_feat_warped = occlude_input(
                     deform_input(enc_feat, m_com), occ
                 )
-                deform_feat_list.append(
-                    occlude_input(deform_input(sg(enc_feat), m_com), sg(occ))
-                )
+                if not inference:
+                    deform_feat_list.append(
+                        occlude_input(deform_input(sg(enc_feat), m_com),
+                                      sg(occ))
+                    )
                 if f_res <= max_app_res:  # (:723)
                     app_before_comp_list.append(enc_feat_warped)
                     enc_feat_warped = self.app_codebook_compensation(

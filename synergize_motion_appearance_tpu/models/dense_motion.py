@@ -69,24 +69,35 @@ class DenseMotionNetwork(nn.Module):
         return jnp.concatenate([identity, driving_to_source], axis=1)
 
     def _deformed_source(self, source, sparse_motions):
-        B, h, w, C = source.shape
-        Kp1 = self.num_kp + 1
-        src_rep = jnp.broadcast_to(
-            source[:, None], (B, Kp1, h, w, C)
-        ).reshape(B * Kp1, h, w, C)
-        grids = sparse_motions.reshape(B * Kp1, h, w, 2)
-        # torch defaults in the reference: align_corners=False, zeros pad
-        warped = grid_sample(src_rep, grids, align_corners=False,
-                             padding_mode="zeros")
-        return warped.reshape(B, Kp1, h, w, C)
+        Bk, Kp1 = sparse_motions.shape[:2]
+        _, h, w, C = source.shape
+        grids = sparse_motions.reshape(Bk * Kp1, h, w, 2)
+        if source.shape[0] == 1:
+            # broadcast fast path: all (frame, kp) warps gather from the
+            # single source image — no (B*(K+1)) materialized copies
+            warped = grid_sample(source, grids, align_corners=False,
+                                 padding_mode="zeros")
+        else:
+            src_rep = jnp.broadcast_to(
+                source[:, None], (Bk, Kp1, h, w, C)
+            ).reshape(Bk * Kp1, h, w, C)
+            # torch defaults in the reference: align_corners=False, zeros
+            warped = grid_sample(src_rep, grids, align_corners=False,
+                                 padding_mode="zeros")
+        return warped.reshape(Bk, Kp1, h, w, C)
 
     @nn.compact
     def __call__(self, source_image, kp_driving, kp_source,
-                 train: bool = False) -> Dict[str, Any]:
+                 train: bool = False, pre_downsampled: bool = False
+                 ) -> Dict[str, Any]:
+        """source_image may have batch 1 with kp batch F (inference fast
+        path: the source is shared by every driving frame; its downsample
+        and the per-kp gathers broadcast instead of materializing)."""
         x = source_image
-        if self.scale_factor != 1:
+        if self.scale_factor != 1 and not pre_downsampled:
             x = antialias_downsample(x, self.scale_factor)
-        B, h, w, _ = x.shape
+        B = kp_driving["value"].shape[0]
+        _, h, w, _ = x.shape
 
         heatmap = self._heatmaps((h, w), kp_driving, kp_source)  # (B,K+1,h,w)
         sparse_motion = self._sparse_motions((h, w), kp_driving, kp_source)
@@ -164,9 +175,10 @@ class MotionEstimator(nn.Module):
         return self.kp_detector(image, train, pre_downsampled)
 
     def estimate_motion_w_kp(self, kp_source, kp_driving, source_image,
-                             train: bool = False):
+                             train: bool = False,
+                             pre_downsampled: bool = False):
         dense_motion = self.dense_motion_network(
-            source_image, kp_driving, kp_source, train
+            source_image, kp_driving, kp_source, train, pre_downsampled
         )
         dense_motion.update(
             {"kp_driving": kp_driving, "kp_source": kp_source}

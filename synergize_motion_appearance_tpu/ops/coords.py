@@ -106,13 +106,20 @@ def antialias_downsample_host(frames: "np.ndarray", scale: float
     import cv2
 
     k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
+    # the 2-D kernel is an outer product -> separable 1-D passes (8x less
+    # work than filter2D with the full kernel)
+    k1 = k2[ka] / np.sqrt(k2[ka, ka])  # normalized 1-D gaussian row
+    k1 = k1.astype(np.float32).reshape(-1, 1)
     out = []
     for f in frames:
-        padded = np.pad(f, ((ka, kb), (ka, kb), (0, 0)))
-        blurred = cv2.filter2D(padded, -1, k2,
-                               borderType=cv2.BORDER_CONSTANT)
-        # valid region after explicit zero pad
-        blurred = blurred[ka:-kb or None, ka:-kb or None]
+        if ka == kb:
+            blurred = cv2.sepFilter2D(f, -1, k1, k1,
+                                      borderType=cv2.BORDER_CONSTANT)
+        else:  # even kernel: explicit asymmetric pad + valid filter
+            padded = np.pad(f, ((ka, kb), (ka, kb), (0, 0)))
+            blurred = cv2.sepFilter2D(padded, -1, k1, k1,
+                                      borderType=cv2.BORDER_CONSTANT)
+            blurred = blurred[ka:-kb or None, ka:-kb or None]
         out.append(blurred[::s, ::s])
     return np.stack(out)
 

@@ -1,1 +1,6 @@
-from .trainer import Trainer, TrainState, multistep_lr
+from .trainer import (
+    Trainer,
+    TrainState,
+    multistep_lr,
+    cosine_annealing_restart_lr,
+)

@@ -72,6 +72,33 @@ def multistep_lr(base_lr: float, milestones, gamma: float = 0.5):
     return schedule
 
 
+def cosine_annealing_restart_lr(base_lr: float, periods,
+                                restart_weights=None, eta_min: float = 0.0):
+    """CosineAnnealingRestartLR (models/lr_scheduler.py:57-96): cosine
+    decay within each period, scaled by the period's restart weight."""
+    periods = list(periods)
+    restart_weights = list(restart_weights or [1.0] * len(periods))
+    assert len(periods) == len(restart_weights)
+    cum = [0]
+    for p in periods:
+        cum.append(cum[-1] + p)
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        lr = jnp.asarray(base_lr, jnp.float32)
+        for i, period in enumerate(periods):
+            start, end = cum[i], cum[i + 1]
+            in_period = (count >= start) & (count < end)
+            t = (count - start) / period
+            val = eta_min + restart_weights[i] * 0.5 * (
+                base_lr - eta_min
+            ) * (1 + jnp.cos(jnp.pi * t))
+            lr = jnp.where(in_period, val, lr)
+        return lr
+
+    return schedule
+
+
 def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any]):
     """Returns (gradient transform, lr schedule over the GLOBAL step).
 
@@ -86,6 +113,12 @@ def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any]):
     if sched_cfg and sched_cfg.get("type") == "MultiStepLR":
         schedule = multistep_lr(lr, sched_cfg.get("milestones", []),
                                 float(sched_cfg.get("gamma", 0.5)))
+    elif sched_cfg and sched_cfg.get("type") == "CosineAnnealingRestartLR":
+        schedule = cosine_annealing_restart_lr(
+            lr, sched_cfg.get("periods", []),
+            sched_cfg.get("restart_weights"),
+            float(sched_cfg.get("eta_min", 0.0)),
+        )
     else:
         schedule = lambda step: jnp.asarray(lr, jnp.float32)
     tx = optax.scale_by_adam(b1=betas[0], b2=betas[1])
