@@ -67,7 +67,7 @@ class ReenactmentPipeline:
                  relative: bool = False, adapt_scale: bool = False,
                  frame_batch: int = 8, w: float = 1.0,
                  compute_dtype=jnp.bfloat16, u8_io: bool = False,
-                 host_kp_downsample: bool = False):
+                 host_kp_downsample: bool = False, mesh=None):
         self.net_g = net_g
         self.motion_estimator = motion_estimator
         self.relative = relative
@@ -83,6 +83,8 @@ class ReenactmentPipeline:
             "scale_factor", 1.0
         ) if host_kp_downsample else 1.0
 
+        self.mesh = mesh
+
         def cast(tree):
             if compute_dtype is None:
                 return tree
@@ -95,6 +97,21 @@ class ReenactmentPipeline:
         # bf16 weights/activations: MXU-native inference precision
         self.g_vars = cast(g_vars)
         self.m_vars = cast(m_vars)
+
+        # frame parallelism: frames are independent given kp_source (the
+        # analogue of sequence parallelism here — SURVEY.md 5.7). With a
+        # mesh, the frame batch shards across chips; params replicate and
+        # XLA partitions the whole gen step.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._frame_sharding = NamedSharding(mesh, P("data"))
+            self._repl_sharding = NamedSharding(mesh, P())
+            rep = lambda t: jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, self._repl_sharding), t
+            )
+            self.g_vars = rep(self.g_vars)
+            self.m_vars = rep(self.m_vars)
 
         # params are jit ARGUMENTS (not closure constants) so the compiled
         # executables stay small and weights can be swapped without
@@ -133,6 +150,11 @@ class ReenactmentPipeline:
         return self._enc_jit(self.g_vars, jnp.asarray(source))
 
     def _gen_fn(self, source, src_feats, kp_source, kp_driving, kp_initial):
+        if self.mesh is not None:
+            kp_driving = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, self._frame_sharding),
+                kp_driving,
+            )
         return self._gen_jit(self.g_vars, self.m_vars, jnp.asarray(source),
                              src_feats, kp_source, kp_driving, kp_initial)
 

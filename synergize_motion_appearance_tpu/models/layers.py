@@ -110,7 +110,7 @@ class BatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.momentum,
             epsilon=self.epsilon,
@@ -118,6 +118,9 @@ class BatchNorm2d(nn.Module):
             use_scale=True,
             dtype=None,
         )(x)
+        # stats in f32, output in the input dtype — stops f32 contagion
+        # through bf16 inference graphs
+        return y.astype(x.dtype)
 
 
 class GroupNorm32(nn.Module):
@@ -131,7 +134,8 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         groups = 32 if x.shape[-1] % 32 == 0 else math.gcd(x.shape[-1], 32)
-        return nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
+        y = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
+        return y.astype(x.dtype)
 
 
 class LayerNorm(nn.Module):
@@ -139,7 +143,7 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=self.epsilon)(x)
+        return nn.LayerNorm(epsilon=self.epsilon)(x).astype(x.dtype)
 
 
 def swish(x):

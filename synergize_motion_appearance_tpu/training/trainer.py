@@ -425,6 +425,14 @@ class Trainer:
             logs["l_g_total"] = l_g_total
             grads_g, grads_m = grads
 
+            # failure guard (SURVEY.md 5.3: the reference has no failure
+            # detection; a single NaN batch would poison all params): a
+            # non-finite loss skips this step's updates entirely (G and D).
+            finite = jnp.isfinite(l_g_total)
+            g_on = g_on & finite
+            d_on = d_on & finite
+            logs["step_skipped_nonfinite"] = (~finite).astype(jnp.float32)
+
             # G/M updates (:405-408), gated on g_on; lr from the global
             # step so schedules match the reference's per-iter stepping
             def apply_lr(upds, lr):
