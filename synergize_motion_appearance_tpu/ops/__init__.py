@@ -15,6 +15,8 @@ from .coords import (
     convex_hull_area,
 )
 from .vq import vq_quantize, vq_lookup, vq_nearest_indices
+from .dcn import deform_conv2d, modulated_deform_conv2d
+from .stylegan_ops import fused_leaky_relu, upfirdn2d, make_resample_kernel
 from .tps import (
     RandomTPSParams,
     sample_random_tps,

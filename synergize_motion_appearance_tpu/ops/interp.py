@@ -113,10 +113,16 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
     v10 = gather(iy1, ix0)
     v11 = gather(iy1, ix1)
 
+    # coordinates/weights are computed in f32 (pixel positions need the
+    # mantissa), but the 4-corner blend runs in the image dtype so bf16
+    # graphs stay bf16 (weights are in [0,1]; bf16 blend error ~0.4%)
+    bd = img.dtype if img.dtype in (jnp.bfloat16, jnp.float16) else None
     w00 = (wy0 * wx0)[..., None]
     w01 = (wy0 * wx1)[..., None]
     w10 = (wy1 * wx0)[..., None]
     w11 = (wy1 * wx1)[..., None]
+    if bd is not None:
+        w00, w01, w10, w11 = (w.astype(bd) for w in (w00, w01, w10, w11))
 
     out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
     return out.astype(img.dtype)
@@ -156,14 +162,22 @@ def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
 
 
 def resize_bilinear(x, out_hw, align_corners=True):
-    """(B,H,W,C) -> (B,h,w,C) bilinear resize, torch F.interpolate parity."""
+    """(B,H,W,C) -> (B,h,w,C) bilinear resize, torch F.interpolate parity.
+
+    f32 inputs resize at highest precision (flow fields / parity tests);
+    bf16 feature maps resize in bf16 to keep inference graphs bf16."""
     B, H, W, C = x.shape
     h, w = out_hw
     if (H, W) == (h, w):
         return x
+    dt = x.dtype
+    low = dt in (jnp.bfloat16, jnp.float16)
     mh = _linear_resize_matrix(H, h, align_corners)
     mw = _linear_resize_matrix(W, w, align_corners)
-    dt = x.dtype
+    if low:
+        y = jnp.einsum("oh,bhwc->bowc", mh.astype(dt), x)
+        y = jnp.einsum("ow,bhwc->bhoc", mw.astype(dt), y)
+        return y.astype(dt)
     y = jnp.einsum("oh,bhwc->bowc", mh, x.astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST)
     y = jnp.einsum("ow,bhwc->bhoc", mw, y,

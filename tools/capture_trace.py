@@ -29,13 +29,13 @@ def main():
     from synergize_motion_appearance_tpu.models import build_network
     from __graft_entry__ import _flagship_config
 
-    fb = 16
+    fb = int(os.environ.get("BENCH_FRAME_BATCH", "64"))
     cfg = _flagship_config(256)
     net_g = build_network(cfg["network_g"])
     me = build_network(cfg["network_motion_estimator"])
     rng = np.random.RandomState(0)
     source = (rng.rand(1, 256, 256, 3) * 255).astype(np.uint8)
-    driving = (rng.rand(fb, 256, 256, 3) * 255).astype(np.uint8)
+    driving = (rng.rand(max(fb, 64), 256, 256, 3) * 255).astype(np.uint8)
 
     s32 = jnp.asarray(source, jnp.float32) / 127.5 - 1
     d32 = jnp.asarray(driving[:1], jnp.float32) / 127.5 - 1
