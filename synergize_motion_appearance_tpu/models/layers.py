@@ -123,19 +123,53 @@ class BatchNorm2d(nn.Module):
         return y.astype(x.dtype)
 
 
+class _AffineParams(nn.Module):
+    """Bare (scale, bias) parameter holder. Named "GroupNorm_0" inside
+    GroupNorm32 so the param tree matches flax nn.GroupNorm (and the
+    torch<->flax checkpoint converter's `gn` mapping)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """torch GroupNorm(num_groups=32, eps=1e-6, affine) — vqgan `normalize`
     (archs/vqgan_arch.py:14-15). Falls back to `features` groups when the
     channel count is below 32 (torch would error; we only hit this in tiny
-    test configs)."""
+    test configs).
+
+    Folded-affine implementation: group statistics reduce in f32, then the
+    normalize+affine collapses to one per-(batch, channel) multiply-add
+    applied in the *input* dtype — under bf16 inference no f32 tensor of
+    the activation's full size is ever materialized (flax nn.GroupNorm
+    normalizes in f32 before casting, which doubles HBM traffic at 256²).
+    """
 
     epsilon: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
-        groups = 32 if x.shape[-1] % 32 == 0 else math.gcd(x.shape[-1], 32)
-        y = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon)(x)
-        return y.astype(x.dtype)
+        c = x.shape[-1]
+        groups = 32 if c % 32 == 0 else math.gcd(c, 32)
+        scale, bias = _AffineParams(c, name="GroupNorm_0")()
+        b = x.shape[0]
+        xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+        mean = jnp.mean(xg, axis=(1, 3))
+        var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+        rstd = jax.lax.rsqrt(var + self.epsilon)          # (b, groups) f32
+        # y = (x - mean)*rstd*scale + bias  ==  x*a + t, folded per (b, c)
+        a = jnp.repeat(rstd, c // groups, axis=-1) * scale[None, :].astype(
+            jnp.float32)
+        t = bias[None, :].astype(jnp.float32) - jnp.repeat(
+            mean, c // groups, axis=-1) * a
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        return x * a.reshape(bshape).astype(x.dtype) + t.reshape(
+            bshape).astype(x.dtype)
 
 
 class LayerNorm(nn.Module):
