@@ -133,6 +133,158 @@ class AppMotionCompModel:
         return epoch
 
 
+@MODEL_REGISTRY.register()
+class SRModel:
+    """Generic single-network restoration model (models/sr_model.py:13-209)
+    — the BasicSR base pattern the talking-head model extends. TPU-native:
+    one jitted optax step over a single `network_g`, pixel (+ optional
+    perceptual) loss, EMA, test(), and PSNR/SSIM/L1 validation. Kept for
+    framework-surface parity so SRModel-style configs port directly."""
+
+    def __init__(self, opt: Dict[str, Any]):
+        import jax
+
+        from .models import build_network
+
+        self.opt = opt
+        self.is_train = opt.get("is_train", True)
+        self.net_g = build_network(opt["network_g"])
+        self._rng = jax.random.PRNGKey(opt.get("manual_seed", 0))
+        self.params = None
+        self.ema_params = None
+        self.opt_state = None
+        self._tx = None
+        self._step_fn = None
+        self.log_dict: Dict[str, float] = {}
+        self.batch: Optional[Dict[str, Any]] = None
+        self.output = None
+
+    def feed_data(self, data: Dict[str, np.ndarray]):
+        self.batch = {"lq": np.asarray(data["lq"], np.float32)}
+        if "gt" in data:
+            self.batch["gt"] = np.asarray(data["gt"], np.float32)
+
+    def _ensure_state(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from .losses import build_loss
+
+        if self.params is not None:
+            return
+        variables = self.net_g.init(self._rng, jnp.asarray(self.batch["lq"]))
+        self.params = variables["params"]
+        if not self.is_train:
+            return
+        train_opt = self.opt["train"]
+        opt_cfg = dict(train_opt.get("optim_g", {}))
+        opt_cfg.pop("type", None)
+        self._tx = optax.adam(
+            float(opt_cfg.get("lr", 2e-4)),
+            *opt_cfg.get("betas", [0.9, 0.99]),
+        )
+        self.opt_state = self._tx.init(self.params)
+        self.ema_decay = float(train_opt.get("ema_decay", 0))
+        if self.ema_decay > 0:
+            # real copies: the step donates params buffers
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.array, self.params)
+
+        pix_loss = (build_loss(train_opt["pixel_opt"])
+                    if train_opt.get("pixel_opt") else None)
+
+        def loss_fn(params, lq, gt):
+            out = self.net_g.apply({"params": params}, lq)
+            if isinstance(out, tuple):
+                out = out[0]  # VQAutoEncoder: (recon, codebook_loss, stats)
+            if isinstance(out, dict):
+                out = out.get("out", out)
+            total = jnp.zeros((), jnp.float32)
+            logs = {}
+            if pix_loss is not None:
+                l_pix = pix_loss(out, gt)
+                total += l_pix
+                logs["l_pix"] = l_pix
+            logs["l_total"] = total
+            return total, (out, logs)
+
+        def step(params, opt_state, lq, gt):
+            grads, (out, logs) = jax.grad(
+                loss_fn, has_aux=True)(params, lq, gt)
+            updates, opt_state = self._tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, logs
+
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+
+    def optimize_parameters(self, current_iter: int):
+        import jax
+
+        self._ensure_state()
+        self.params, self.opt_state, logs = self._step_fn(
+            self.params, self.opt_state,
+            self.batch["lq"], self.batch["gt"],
+        )
+        if self.ema_decay > 0:
+            d = self.ema_decay
+            self.ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1 - d), self.ema_params,
+                self.params)
+        self.log_dict = {k: float(v) for k, v in
+                         jax.device_get(logs).items()}
+
+    def get_current_log(self) -> Dict[str, float]:
+        return self.log_dict
+
+    def test(self):
+        import jax
+
+        self._ensure_state()
+        params = self.ema_params if self.ema_params is not None \
+            else self.params
+        out = jax.jit(
+            lambda p, x: self.net_g.apply({"params": p}, x)
+        )(params, self.batch["lq"])
+        if isinstance(out, tuple):
+            out = out[0]
+        if isinstance(out, dict):
+            out = out.get("out", out)
+        self.output = out
+        return out
+
+    def get_current_visuals(self) -> Dict[str, np.ndarray]:
+        import jax
+
+        vis = {"result": np.asarray(jax.device_get(self.output)),
+               "lq": np.asarray(self.batch["lq"])}
+        if "gt" in self.batch:
+            vis["gt"] = np.asarray(self.batch["gt"])
+        return vis
+
+    def nondist_validation(self, dataloader, current_iter,
+                           tb_logger=None, save_img=False):
+        """PSNR/SSIM/L1 accumulation over a loader of {lq, gt} batches
+        (sr_model.py:128-185)."""
+        from .metrics import calculate_metric
+        from .utils.img_util import arr2img
+
+        metric_opts = (self.opt.get("val") or {}).get("metrics") or {}
+        results = {name: 0.0 for name in metric_opts}
+        n = 0
+        for data in dataloader:
+            self.feed_data(data)
+            self.test()
+            vis = self.get_current_visuals()
+            sr = arr2img(vis["result"][0])
+            gt = arr2img(vis["gt"][0])
+            for name, m_opt in metric_opts.items():
+                results[name] += calculate_metric(
+                    {"img1": sr, "img2": gt}, m_opt)
+            n += 1
+        return {k: v / max(n, 1) for k, v in results.items()}
+
+
 def build_model(opt: Dict[str, Any]):
     """models/__init__.py:19-30 equivalent."""
     cls = MODEL_REGISTRY.get(opt["model_type"])

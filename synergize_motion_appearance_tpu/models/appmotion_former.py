@@ -75,7 +75,11 @@ def occlude_input(inp, occlusion_map):
         occlusion_map = resize_bilinear(
             occlusion_map, inp.shape[1:3], align_corners=True
         )
-    return inp * occlusion_map
+    # occlusion values live in [0,1]; multiply in the FEATURE dtype so an
+    # f32 occlusion map doesn't promote the whole bf16 decoder tail to f32
+    # (profiled: the promotion materialized f32[B,256,256,C] through every
+    # fuse/generator conv — >1 GB of extra HBM traffic per 64-frame batch)
+    return inp * occlusion_map.astype(inp.dtype)
 
 
 def encoder_tap_indices(nf, emb_dim, ch_mult, res_blocks, resolution,
@@ -480,22 +484,21 @@ class AppMotionCompFormer(nn.Module):
         if p == 1:
             tok = self.app_feat_emb[res](feat)
             return tok.reshape(B, t * t, self.dim_embd_app)
-        x = feat.reshape(B, t, p, t, p, -1)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, t * t, -1)
-        return self.app_feat_emb[res](x)
+        # stride-p conv == patch-matmul with inner order (p_row, p_col, C);
+        # avoids the (B,t,p,t,p,C) transpose relayout
+        tok = self.app_feat_emb[res](feat, patch=p)
+        return tok.reshape(B, t * t, self.dim_embd_app)
 
     def _app_untokens(self, tokens, res):
         """Inverse of _app_tokens: (B, t*t, d) -> (B, r, r, C)."""
         B = tokens.shape[0]
         t = self.token_hw
         p = res // t
+        grid = tokens.reshape(B, t, t, self.dim_embd_app)
         if p == 1:
-            grid = tokens.reshape(B, t, t, self.dim_embd_app)
             return self.to_app_feat[res](grid)
-        x = self.to_app_feat[res](tokens)  # (B, t*t, p*p*C)
-        c = x.shape[-1] // (p * p)
-        x = x.reshape(B, t, t, p, p, c)
-        return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, res, res, c)
+        # stride-p transposed conv == dense + (B,t,t,p,p,C) scatter
+        return self.to_app_feat[res](grid, transpose_patch=p)
 
     def app_codebook_compensation(self, feat, motion):
         """appmotioncodebook_arch.py:472-544."""

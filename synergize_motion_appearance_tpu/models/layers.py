@@ -80,21 +80,80 @@ class Conv2d(nn.Module):
         )(x)
 
 
+class _DenseParams(nn.Module):
+    """(kernel, bias) holder named "Dense_0" inside Dense so the param
+    tree matches flax nn.Dense (and the checkpoint converter)."""
+
+    fan_in: int
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (self.fan_in, self.features))
+        bias = self.param("bias", torch_bias_init(self.fan_in),
+                          (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
 class Dense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = x.shape[-1]
-        return nn.Dense(
-            features=self.features,
-            use_bias=self.use_bias,
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_bias_init(fan_in),
-            dtype=self.dtype,
-        )(x)
+    def __call__(self, x, patch: Optional[int] = None,
+                 transpose_patch: Optional[int] = None):
+        """Standard dense layer, plus two patch-embedding application
+        modes that avoid 6-D space-to-depth transposes (multi-ms
+        relayouts on TPU at 256²), with identical params and math:
+
+        * ``patch=p``: the (p*p*C, E) weight applies as a pXp stride-p
+          conv over a (B, r, r, C) input — the patch-embed matmul with
+          token inner order (p_row, p_col, C).
+        * ``transpose_patch=p``: the inverse; tokens (B, t, t, E) ->
+          (B, t*p, t*p, C) with features == p*p*C, as a stride-p
+          transposed conv (== dense + (B,t,t,p,p,C) scatter transpose).
+        """
+        if patch is not None:
+            fan_in = x.shape[-1] * patch * patch
+        else:
+            fan_in = x.shape[-1]
+        kernel, bias = _DenseParams(fan_in, self.features, self.use_bias,
+                                    name="Dense_0")()
+        kernel = kernel.astype(x.dtype)
+        if patch is not None:
+            p, c = patch, x.shape[-1]
+            k4 = kernel.reshape(p, p, c, self.features)
+            y = jax.lax.conv_general_dilated(
+                x, k4, window_strides=(p, p), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        elif transpose_patch is not None:
+            p = transpose_patch
+            e = x.shape[-1]
+            c = self.features // (p * p)
+            # spatial flip: lax.conv_transpose (transpose_kernel=False)
+            # places kernel taps mirrored relative to the output block
+            k4 = kernel.reshape(e, p, p, c).transpose(1, 2, 0, 3)
+            k4 = k4[::-1, ::-1]
+            y = jax.lax.conv_transpose(
+                x, k4, strides=(p, p), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                # the (p*p*C,) bias lands per patch position: output pixel
+                # (i, j, c) gets bias[(i%p)*p + (j%p), c]
+                t_h, t_w = x.shape[1], x.shape[2]
+                y = y + jnp.tile(bias.reshape(p, p, c),
+                                 (t_h, t_w, 1)).astype(y.dtype)
+            return y
+        else:
+            y = x @ kernel
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class BatchNorm2d(nn.Module):

@@ -63,17 +63,16 @@ class MultiheadAttention(nn.Module):
         kp = kp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
         vp = vp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qp, kp) / math.sqrt(d)
+        # fused Pallas attention on TPU (keeps the (L, K) score tile in
+        # VMEM; all-masked rows -> 0, matching the nan_to_num guard the
+        # dense reference applies); dense jnp fallback elsewhere
+        from ..ops.fused_attention import fused_attention
+
+        bias = None
         if key_padding_mask is not None:
-            mask = key_padding_mask[:, None, None, :]
-            scores = jnp.where(mask, -jnp.inf, scores)
-        attn = jax.nn.softmax(scores, axis=-1)
-        if key_padding_mask is not None:
-            # all-keys-masked rows produce NaN after softmax; torch leaves
-            # NaN too, but in practice at least one key is in-frame. Guard
-            # anyway so jit never propagates NaN from degenerate inputs.
-            attn = jnp.nan_to_num(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
+            bias = jnp.where(key_padding_mask, -1e30, 0.0).astype(
+                jnp.float32)
+        out = fused_attention(qp, kp, vp, bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
         return out @ wo + bo
 

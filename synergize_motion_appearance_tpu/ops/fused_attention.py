@@ -1,0 +1,145 @@
+"""Fused softmax-attention Pallas kernel for the codebook transformer.
+
+The model's attention (transformer.py, parity with torch MHA at
+appmotioncodebook_arch.py:65-126) runs over L=1024 spatial tokens against
+K<=1024 keys (tokens or codebook entries) with head_dim as small as 4
+(dim_embd_motion=32 / 8 heads). The naive einsum+softmax materializes the
+(B, H, L, K) f32 score tensor in HBM — ~2 GB per attention at a 64-frame
+batch — and re-reads it for exp/sum/AV, which profiling shows is the
+single largest cost in the generator (~37 ms per transformer block).
+
+At these sizes one (L, K) f32 score tile is only 4 MB: it fits in VMEM,
+so no flash-style K-blocking is needed. Each grid program handles one
+batch row and loops the (static) head count, keeping every intermediate
+on-chip; HBM sees only q/k/v in and the (L, d) outputs.
+
+Numerics: scores and softmax in f32 (an upgrade over the bf16 dense path;
+max-subtracted, so exact for well-scaled inputs), AV in f32 accumulation.
+Backward: custom_vjp recomputes via the dense jnp reference — training
+uses the reference gradients; this kernel is the inference hot path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dense_reference(q, k, v, bias):
+    """jnp reference: q (B,H,L,d); k,v (B,H,K,d); bias (B,K) additive."""
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / math.sqrt(d)
+    if bias is not None:
+        scores = scores + bias[:, None, None, :].astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.nan_to_num(attn)  # all-masked rows -> 0 (torch leaves NaN)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _attn_kernel(scale: float, masked: bool, *refs):
+    """One (batch, head) per program: a single (L, K) f32 score tile lives
+    in VMEM; grid pipelining overlaps the tiny q/k/v DMAs across programs."""
+    if masked:
+        q_ref, k_ref, v_ref, bias_ref, out_ref = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref = refs
+        bias_ref = None
+    q = q_ref[0, 0].astype(jnp.float32)  # (L, d)
+    k = k_ref[0, 0].astype(jnp.float32)  # (K, d)
+    v = v_ref[0, 0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (L, K)
+    if bias_ref is not None:
+        scores = scores + bias_ref[0]  # (1, K) broadcasts over L rows
+    m = jnp.max(scores, axis=-1, keepdims=True)  # (L, 1)
+    p = jnp.exp(scores - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / s
+    if bias_ref is not None:
+        # every key masked (bias -inf on all): match the dense path's
+        # nan_to_num -> zeros instead of exp(0)/K * mean(v)
+        out = out * (m > -1e29).astype(jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_attention_pallas(q, k, v, bias, interpret=False):
+    B, H, L, d = q.shape
+    K = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    masked = bias is not None
+    kernel = functools.partial(_attn_kernel, scale, masked)
+    in_specs = [
+        pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, K, d), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, K, d), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if masked:
+        # (B, 1, K) so the block's trailing dims equal the array's (a bare
+        # (1, K) block violates the sublane-divisibility rule)
+        in_specs.append(
+            pl.BlockSpec((1, 1, K), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias.astype(jnp.float32).reshape(B, 1, K))
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+@jax.custom_vjp
+def fused_attention(q, k, v, bias=None):
+    """Softmax attention, fused on TPU. q: (B,H,L,d); k,v: (B,H,K,d);
+    bias: optional (B, K) additive mask (use -1e30 for excluded keys).
+    Returns (B, H, L, d) in q's dtype."""
+    return _fused_attention_impl(q, k, v, bias)
+
+
+def _within_envelope(q, k):
+    B, H, L, d = q.shape
+    K = k.shape[2]
+    # one f32 score tile + q/k/v/out per program must fit VMEM comfortably
+    return (L * K * 4 + (2 * L + 2 * K) * max(d, 128) * 4) < 12 * 2 ** 20
+
+
+def _fused_attention_impl(q, k, v, bias):
+    if jax.default_backend() == "tpu" and _within_envelope(q, k):
+        return _fused_attention_pallas(q, k, v, bias)
+    return _dense_reference(q, k, v, bias)
+
+
+def _fwd(q, k, v, bias):
+    return _fused_attention_impl(q, k, v, bias), (q, k, v, bias)
+
+
+def _bwd(res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _dense_reference(q_, k_, v_, bias),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fwd, _bwd)

@@ -85,42 +85,64 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
 
     Bg = grid.shape[0]
 
-    def gather(iy_, ix_):
-        """Gather img[b, iy_, ix_, :] with zero weight for OOB corners."""
-        if padding_mode == "zeros":
-            valid = (ix_ >= 0) & (ix_ <= W - 1) & (iy_ >= 0) & (iy_ <= H - 1)
-        else:
-            valid = None
-        xc = jnp.clip(ix_, 0, W - 1).astype(jnp.int32)
-        yc = jnp.clip(iy_, 0, H - 1).astype(jnp.int32)
-        if B == 1 and Bg > 1:
-            # broadcast fast path: many grids over one image — gather from
-            # the single image without materializing Bg copies
-            flat_idx = (yc * W + xc).reshape(-1)  # (Bg*Hg*Wg,)
-            out = jnp.take(img.reshape(H * W, C), flat_idx, axis=0)
-            out = out.reshape(Bg, *ix_.shape[1:], C)
-        else:
-            flat_idx = (yc * W + xc).reshape(B, -1)  # (B, Hg*Wg)
-            img_flat = img.reshape(B, H * W, C)
-            out = jnp.take_along_axis(img_flat, flat_idx[..., None], axis=1)
-            out = out.reshape(B, *ix_.shape[1:], C)
-        if valid is not None:
-            out = out * valid[..., None].astype(out.dtype)
-        return out
+    # --- corner-packed single gather -------------------------------------
+    # XLA lowers each corner gather to 128B-granule random reads and pads
+    # the (N, C) output to 128 lanes; four of them per warp dominate the
+    # generator's HBM time. Packing the 4 corner values into channels
+    # ([v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] via rolls — the packed
+    # image is tiny next to the gather output) turns the warp into ONE
+    # lane-aligned gather of (N, 4C): measured ~2x faster at both hot
+    # shapes (1->64 256²x64 and the 16-way dense-motion warp).
+    rx = jnp.roll(img, -1, axis=2)
+    ry = jnp.roll(img, -1, axis=1)
+    rxy = jnp.roll(rx, -1, axis=1)
+    packed = jnp.concatenate([img, rx, ry, rxy], axis=-1)  # (B, H, W, 4C)
 
-    v00 = gather(iy0, ix0)
-    v01 = gather(iy0, ix1)
-    v10 = gather(iy1, ix0)
-    v11 = gather(iy1, ix1)
+    sx = jnp.clip(ix0, 0, W - 1).astype(jnp.int32)
+    sy = jnp.clip(iy0, 0, H - 1).astype(jnp.int32)
+    flat = sy * W + sx
+    if B == 1 and Bg > 1:
+        # broadcast fast path: many grids over one image — gather from the
+        # single image without materializing Bg copies
+        p = jnp.take(packed.reshape(H * W, 4 * C), flat.reshape(-1), axis=0)
+        p = p.reshape(Bg, *flat.shape[1:], 4 * C)
+    else:
+        p = jnp.take_along_axis(packed.reshape(B, H * W, 4 * C),
+                                flat.reshape(B, -1)[..., None], axis=1)
+        p = p.reshape(B, *flat.shape[1:], 4 * C)
+
+    # wrap/clamp slot corrections: when x0 (resp. y0) clipped up to 0, the
+    # +1 corner coincides with the gathered base pixel (torch clips each
+    # corner independently); rolled slots would wrap at the far edge but
+    # those corners are OOB and zero-weighted below
+    cx = (ix0.astype(jnp.int32) == sx)[..., None]
+    cy = (iy0.astype(jnp.int32) == sy)[..., None]
+    p0 = p[..., 0:C]
+    p1 = p[..., C:2 * C]
+    p2 = p[..., 2 * C:3 * C]
+    p3 = p[..., 3 * C:]
+    v00 = p0
+    v01 = jnp.where(cx, p1, p0)
+    v10 = jnp.where(cy, p2, p0)
+    v11 = jnp.where(cy & cx, p3,
+                    jnp.where(cy, p2, jnp.where(cx, p1, p0)))
+
+    if padding_mode == "zeros":
+        def valid(yy, xx):
+            return ((xx >= 0) & (xx <= W - 1)
+                    & (yy >= 0) & (yy <= H - 1)).astype(jnp.float32)
+    else:  # border/reflection already clamped coords into range
+        def valid(yy, xx):
+            return jnp.float32(1.0)
 
     # coordinates/weights are computed in f32 (pixel positions need the
     # mantissa), but the 4-corner blend runs in the image dtype so bf16
     # graphs stay bf16 (weights are in [0,1]; bf16 blend error ~0.4%)
     bd = img.dtype if img.dtype in (jnp.bfloat16, jnp.float16) else None
-    w00 = (wy0 * wx0)[..., None]
-    w01 = (wy0 * wx1)[..., None]
-    w10 = (wy1 * wx0)[..., None]
-    w11 = (wy1 * wx1)[..., None]
+    w00 = (wy0 * wx0 * valid(iy0, ix0))[..., None]
+    w01 = (wy0 * wx1 * valid(iy0, ix1))[..., None]
+    w10 = (wy1 * wx0 * valid(iy1, ix0))[..., None]
+    w11 = (wy1 * wx1 * valid(iy1, ix1))[..., None]
     if bd is not None:
         w00, w01, w10, w11 = (w.astype(bd) for w in (w00, w01, w10, w11))
 

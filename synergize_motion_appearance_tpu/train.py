@@ -36,7 +36,7 @@ def main(argv=None):
     from .training.checkpoint import (latest_checkpoint, restore_checkpoint,
                                       save_checkpoint)
     from .utils.logger import (MessageLogger, get_env_info, get_root_logger,
-                               init_tb_logger)
+                               init_tb_logger, init_wandb_logger)
     from .utils.options import dict2str, make_exp_dirs, parse
 
     if args.launcher == "jax":
@@ -53,6 +53,9 @@ def main(argv=None):
     logger.info(dict2str(opt))
     tb_logger = None
     if opt.get("logger", {}).get("use_tb_logger") and is_master():
+        # wandb first so its tensorboard-sync hook sees the writer
+        # (train.py:66-68 ordering in the reference)
+        init_wandb_logger(opt)
         tb_logger = init_tb_logger(osp.join(opt["path"]["log"], "tb_logger"))
 
     seed = opt.get("manual_seed", 0)

@@ -72,6 +72,35 @@ def multistep_lr(base_lr: float, milestones, gamma: float = 0.5):
     return schedule
 
 
+def multistep_restart_lr(base_lr: float, milestones, gamma: float = 0.1,
+                         restarts=(0,), restart_weights=(1,)):
+    """MultiStepRestartLR (models/lr_scheduler.py:6-33): at each restart
+    iteration the lr resets to base*weight (prior gamma steps are
+    forgotten); milestones after the last restart multiply by gamma."""
+    milestones = sorted(milestones)
+    restarts = list(restarts)
+    restart_weights = list(restart_weights)
+    assert len(restarts) == len(restart_weights), \
+        "restarts and their weights do not match."
+
+    def schedule(count):
+        count = jnp.asarray(count)
+        w = jnp.ones((), jnp.float32)
+        last = jnp.zeros((), count.dtype)
+        for r, rw in zip(restarts, restart_weights):
+            hit = count >= r
+            w = jnp.where(hit, jnp.float32(rw), w)
+            last = jnp.where(hit, jnp.asarray(r, count.dtype), last)
+        factor = jnp.ones((), jnp.float32)
+        for m in milestones:
+            factor = factor * jnp.where(
+                (jnp.asarray(m, count.dtype) > last) & (count >= m),
+                jnp.float32(gamma), 1.0)
+        return base_lr * w * factor
+
+    return schedule
+
+
 def cosine_annealing_restart_lr(base_lr: float, periods,
                                 restart_weights=None, eta_min: float = 0.0):
     """CosineAnnealingRestartLR (models/lr_scheduler.py:57-96): cosine
@@ -113,6 +142,13 @@ def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any]):
     if sched_cfg and sched_cfg.get("type") == "MultiStepLR":
         schedule = multistep_lr(lr, sched_cfg.get("milestones", []),
                                 float(sched_cfg.get("gamma", 0.5)))
+    elif sched_cfg and sched_cfg.get("type") == "MultiStepRestartLR":
+        schedule = multistep_restart_lr(
+            lr, sched_cfg.get("milestones", []),
+            float(sched_cfg.get("gamma", 0.1)),
+            sched_cfg.get("restarts", (0,)),
+            sched_cfg.get("restart_weights", (1,)),
+        )
     elif sched_cfg and sched_cfg.get("type") == "CosineAnnealingRestartLR":
         schedule = cosine_annealing_restart_lr(
             lr, sched_cfg.get("periods", []),

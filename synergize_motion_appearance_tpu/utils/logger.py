@@ -94,6 +94,37 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=log_dir)
 
 
+def init_wandb_logger(opt):
+    """wandb in tensorboard-sync mode (utils/logger.py:84-102): resumable
+    by id, named after the experiment. No-op when wandb isn't installed
+    or the config carries no `logger.wandb.project`."""
+    import jax
+
+    if jax.process_index() != 0:
+        return None
+    wandb_opt = (opt.get("logger") or {}).get("wandb") or {}
+    project = wandb_opt.get("project")
+    if not project:
+        return None
+    try:
+        import wandb
+    except ImportError:  # pragma: no cover - wandb absent in this image
+        get_root_logger().warning(
+            "wandb requested in config but not installed; skipping.")
+        return None
+    resume_id = wandb_opt.get("resume_id")
+    if resume_id:
+        wandb_id, resume = resume_id, "allow"
+        get_root_logger().warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id, resume = wandb.util.generate_id(), "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt.get("name"),
+               config=opt, project=project, sync_tensorboard=True)
+    get_root_logger().info(
+        f"Use wandb logger with id={wandb_id}; project={project}.")
+    return wandb_id
+
+
 def get_env_info() -> str:
     import jax
 
