@@ -1,0 +1,123 @@
+"""Full-pipeline golden parity vs the upstream reference at flagship size.
+
+Runs the ACTUAL reference torch code (CPU, random-initialized, eval mode)
+for the motion estimator AND the full AppMotionCompFormer at 256², ships
+the weights through tools/convert_reference_checkpoint.py, and compares
+the generated frame pixel-by-pixel. The reference's tap/channel maps are
+hard-coded to 256² (appmotioncodebook_arch.py:327-329), so this can't run
+on tiny shapes like tests/test_reference_golden.py — hence a manual tool,
+not a pytest (flax CPU compile of the flagship takes minutes).
+
+Usage: JAX_PLATFORMS=cpu python tools/validate_reference_parity.py
+"""
+import os
+import sys
+from os import path as osp
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, osp.join(ROOT, "tests"))
+sys.path.insert(0, osp.join(ROOT, "tools"))
+
+import numpy as np  # noqa: E402
+
+from _reference_oracle import import_reference  # noqa: E402
+
+
+def _pin_precision():
+    """This JAX build's default matmul/conv precision computes in reduced
+    (bf16-like) precision even on CPU — a single 3x3 conv differs from
+    torch by ~2e-3 and the 19-block encoder accumulates ~1e-2. Pin HIGHEST
+    so the comparison measures MATH parity, not accumulation of a
+    deliberate inference-precision choice."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def main():
+    basicsr = import_reference()
+    assert basicsr is not None, "/root/reference not mounted"
+    _pin_precision()
+    import torch
+
+    from basicsr.archs.appmotioncodebook_arch import (
+        AppMotionCompFormer as TorchFormer,
+    )
+    from basicsr.archs.motion_estimator_arch import (
+        Motion_Estimator_keypoint_aware,
+    )
+
+    from convert_reference_checkpoint import (
+        convert_motion_estimator, convert_net_g,
+    )
+    from synergize_motion_appearance_tpu.models import build_network
+
+    common = dict(num_kp=15, num_channels=3)
+    kp_params = dict(temperature=0.1, block_expansion=32, max_features=1024,
+                     scale_factor=0.25, num_blocks=5, estimate_jacobian=True)
+    dm_params = dict(block_expansion=64, max_features=1024, num_blocks=5,
+                     scale_factor=0.25, estimate_occlusion_map=True)
+
+    torch.manual_seed(0)
+    t_me = Motion_Estimator_keypoint_aware(
+        common_params=common, dense_motion_params=dm_params,
+        kp_detector_params=kp_params)
+    t_me.eval()
+    t_g = TorchFormer()  # flagship defaults mirror options/train.yml
+    t_g.eval()
+
+    rng = np.random.RandomState(0)
+    src = (rng.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
+    drv = np.roll(src, 17, axis=2) * 0.9
+
+    ts = torch.from_numpy(src.transpose(0, 3, 1, 2))
+    td = torch.from_numpy(drv.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t_dm = t_me(td, ts)
+        t_out = t_g(ts, t_dm, w=1, inference=True)["out"]
+    print("reference forward done")
+
+    # ---- ours, with converted weights ----
+    me_vars, unused = convert_motion_estimator(
+        {k: v.numpy() for k, v in t_me.state_dict().items()},
+        num_blocks_kp=5, num_blocks_dm=5)
+    assert unused == [], unused[:8]
+
+    g_cfg = dict(type="AppMotionCompFormer")
+    g_vars, unused_g = convert_net_g(
+        {k: v.numpy() for k, v in t_g.state_dict().items()}, g_cfg)
+    assert unused_g == [], unused_g[:8]
+
+    me = build_network(dict(
+        type="Motion_Estimator_keypoint_aware", common_params=common,
+        dense_motion_params=dm_params, kp_detector_params=kp_params))
+    net_g = build_network(g_cfg)
+
+    import jax
+
+    dm = me.apply(me_vars, drv, src, train=False)
+    for k in ("deformation", "occlusion_map"):
+        ref = t_dm[k].numpy()
+        got = np.asarray(dm[k])
+        if ref.ndim == 4 and ref.shape[1] in (1, 2, 3) and k != "deformation":
+            ref = ref.transpose(0, 2, 3, 1)
+        err = np.abs(got - ref).max()
+        print(f"motion[{k}]: max abs err {err:.2e}")
+
+    out = jax.jit(
+        lambda v, s, m: net_g.apply(v, s, m, inference=True)["out"]
+    )(g_vars, src, dm)
+    ref = t_out.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(out)
+    err = np.abs(got - ref).max()
+    rel = err / (np.abs(ref).max() + 1e-12)
+    print(f"generator out: max abs err {err:.2e} (rel {rel:.2e})")
+    assert err < 5e-3, "generator output diverges from the reference"
+    print("FULL-PIPELINE GOLDEN PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
