@@ -24,6 +24,23 @@ def _reduce(x, reduction):
     return x
 
 
+def _weight_reduce(loss, weight, reduction):
+    """weight_reduce_loss (loss_util.py:25-54): with a weight map and
+    reduction='mean' the normalizer is the WEIGHT mass over the weighted
+    region (weight.sum() * C for a 1-channel map), not the element count —
+    a weighted mean, so masked-out pixels don't dilute the loss."""
+    if weight is not None:
+        loss = loss * weight
+    if weight is None or reduction == "sum":
+        return _reduce(loss, reduction)
+    if reduction == "mean":
+        denom = jnp.sum(weight)
+        if weight.shape[-1] == 1 and loss.shape[-1] != 1:
+            denom = denom * loss.shape[-1]
+        return jnp.sum(loss) / denom
+    return loss
+
+
 @LOSS_REGISTRY.register(name="L1Loss")
 class L1Loss:
     def __init__(self, loss_weight=1.0, reduction="mean"):
@@ -32,9 +49,8 @@ class L1Loss:
 
     def __call__(self, pred, target, weight=None):
         diff = jnp.abs(pred - target)
-        if weight is not None:
-            diff = diff * weight
-        return self.loss_weight * _reduce(diff, self.reduction)
+        return self.loss_weight * _weight_reduce(diff, weight,
+                                                 self.reduction)
 
 
 @LOSS_REGISTRY.register(name="MSELoss")
@@ -45,9 +61,8 @@ class MSELoss:
 
     def __call__(self, pred, target, weight=None):
         diff = (pred - target) ** 2
-        if weight is not None:
-            diff = diff * weight
-        return self.loss_weight * _reduce(diff, self.reduction)
+        return self.loss_weight * _weight_reduce(diff, weight,
+                                                 self.reduction)
 
 
 @LOSS_REGISTRY.register(name="CharbonnierLoss")
@@ -59,9 +74,8 @@ class CharbonnierLoss:
 
     def __call__(self, pred, target, weight=None):
         diff = jnp.sqrt((pred - target) ** 2 + self.eps)
-        if weight is not None:
-            diff = diff * weight
-        return self.loss_weight * _reduce(diff, self.reduction)
+        return self.loss_weight * _weight_reduce(diff, weight,
+                                                 self.reduction)
 
 
 @LOSS_REGISTRY.register(name="WeightedL1Loss")
@@ -78,11 +92,9 @@ class WeightedL1Loss:
         loss = 0.0
         for i in range(n):
             diff = jnp.abs(preds[i] - targets[i])
-            if weight is not None:
-                diff = diff * weight
-            loss = loss + _reduce(diff, self.reduction) * self.gamma ** (
-                n - i - 1
-            )
+            loss = loss + _weight_reduce(
+                diff, weight, self.reduction
+            ) * self.gamma ** (n - i - 1)
         return self.loss_weight * loss
 
 
@@ -98,10 +110,8 @@ class WeightedTVLoss:
         wx = None if weight is None else weight[:, :, :-1, :]
         dy = jnp.abs(pred[:, :-1, :, :] - pred[:, 1:, :, :])
         dx = jnp.abs(pred[:, :, :-1, :] - pred[:, :, 1:, :])
-        if weight is not None:
-            dy = dy * wy
-            dx = dx * wx
-        return self.loss_weight * (jnp.mean(dx) + jnp.mean(dy))
+        return self.loss_weight * (_weight_reduce(dx, wx, "mean")
+                                   + _weight_reduce(dy, wy, "mean"))
 
 
 @LOSS_REGISTRY.register(name="GANLoss")

@@ -229,6 +229,11 @@ class Trainer:
             **_strip(t.get("kp_distance_opt"))
         ) if t.get("kp_distance_opt") else None
 
+        # rematerialization: recompute the generator forward and VGG
+        # features in the backward pass instead of storing activations
+        # (SURVEY.md: trade FLOPs for HBM). Without it the flagship 256²
+        # step at batch 4/chip overflows a v5e's 16G HBM by ~0.5G.
+        self.remat = bool(t.get("remat", True))
         self.scale_adaptive_gan_weight = float(
             t.get("scale_adaptive_gan_weight", 0.8)
         )
@@ -334,23 +339,34 @@ class Trainer:
 
             rng_tps = jax.random.fold_in(rng, 0)
 
+            def _g_forward(params_g, src, dm, gt_):
+                return self.net_g.apply(
+                    {"params": params_g}, src, dm, w=1.0, gt=gt_
+                )
+
+            g_forward = jax.checkpoint(_g_forward) if self.remat \
+                else _g_forward
+            percep = self.cri_perceptual
+            if percep is not None and self.remat:
+                percep = jax.checkpoint(
+                    lambda vp, a, b: self.cri_perceptual(vp, a, b)
+                )
+
             def g_loss_fn(params_g, params_m):
                 logs = {}
                 vars_m = {"params": params_m, "batch_stats": state.stats_m}
                 dense_motion, mut_m = self.motion_estimator.apply(
                     vars_m, gt, source, train=True, mutable=["batch_stats"]
                 )
-                out = self.net_g.apply(
-                    {"params": params_g}, source, dense_motion, w=1.0, gt=gt
-                )
+                out = g_forward(params_g, source, dense_motion, gt)
                 total = 0.0
 
                 if self.cri_pix is not None:
                     l_g_pix = self.cri_pix(out["out"], gt)
                     total += l_g_pix
                     logs["l_g_pix"] = l_g_pix
-                if self.cri_perceptual is not None:
-                    l_g_percep = self.cri_perceptual(vgg_params, out["out"], gt)
+                if percep is not None:
+                    l_g_percep = percep(vgg_params, out["out"], gt)
                     total += l_g_percep
                     logs["l_g_percep"] = l_g_percep
 
@@ -401,8 +417,8 @@ class Trainer:
                         l_pix_lr = self.cri_pix(out["out_lr"][i], gt) * wlr
                         total += l_pix_lr
                         logs[f"l_g_pix_lr_{i}"] = l_pix_lr
-                    if self.cri_perceptual is not None:
-                        l_percep_lr = self.cri_perceptual(
+                    if percep is not None:
+                        l_percep_lr = percep(
                             vgg_params, out["out_lr"][i], gt
                         ) * wlr
                         total += l_percep_lr
