@@ -81,6 +81,13 @@ class BatchLoader:
 
 def infinite_batches(loader: BatchLoader, start_epoch: int = 0):
     """Endless batch stream across epochs (the train loop's hot iterator)."""
+    if len(loader) == 0:
+        raise ValueError(
+            f"dataset yields {len(loader.sampler)} samples per epoch, "
+            f"smaller than one global batch of {loader.batch_size} — "
+            "raise dataset_enlarge_ratio or lower batch_size_per_gpu "
+            "(an empty epoch would otherwise spin forever)"
+        )
     epoch = start_epoch
     while True:
         for batch in loader.epoch_iter(epoch):

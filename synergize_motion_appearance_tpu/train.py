@@ -109,6 +109,8 @@ def main(argv=None):
     save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 5e3))
     rng = jax.random.PRNGKey(seed + 1000)
 
+    val_state = _build_val_state(opt)
+
     logger.info(f"Start training from iter {start_iter}")
     data_t = iter_t = time.time()
     current_iter = start_iter
@@ -140,9 +142,89 @@ def main(argv=None):
         if current_iter % save_freq == 0 or current_iter == total_iter:
             logger.info(f"Saving checkpoint @ iter {current_iter}")
             save_checkpoint(ckpt_dir, jax.device_get(state), epoch)
+
+        if val_state is not None and current_iter % val_state["freq"] == 0:
+            _run_validation(opt, trainer, state, val_state, current_iter,
+                            tb_logger, logger)
         data_t = time.time()
 
     logger.info("Training done.")
+
+
+def _build_val_state(opt):
+    """Lazy bundle for in-training validation (train.py:209-211 /
+    nondist_validation, appmotioncomp_model.py:463-570). Returns None
+    when no val dataset or the freq is effectively off."""
+    val_opt = opt.get("val") or {}
+    ds_opt = (opt.get("datasets") or {}).get("val")
+    freq = float(val_opt.get("val_freq", 0) or 0)
+    total = float(opt.get("train", {}).get("total_iter", 0))
+    if not ds_opt or freq <= 0 or freq > total:
+        return None
+    from .data import build_dataset
+
+    ds_opt = dict(ds_opt)
+    ds_opt["is_train"] = False
+    return {
+        "freq": int(freq),
+        "dataset": build_dataset(ds_opt),
+        "metrics": val_opt.get("metrics") or {},
+        "max_items": int(val_opt.get("max_items", 32)),
+        "fwd": None,
+    }
+
+
+def _run_validation(opt, trainer, state, val_state, current_iter,
+                    tb_logger, logger):
+    """EMA-params inference over the val set; PSNR/SSIM/L1 accumulation
+    on rank 0 (dist validation gating, appmotioncomp_model.py:458-460)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .metrics import calculate_metric
+    from .parallel import is_master
+    from .utils.img_util import arr2img
+
+    if not is_master():
+        return
+    if val_state["fwd"] is None:
+        def fwd(g_params, m_vars, source, driving):
+            dm = trainer.motion_estimator.apply(
+                m_vars, driving, source, train=False)
+            out = trainer.net_g.apply({"params": g_params}, source, dm,
+                                      inference=True)
+            return out["out"]
+
+        val_state["fwd"] = jax.jit(fwd)
+
+    m_vars = {"params": state.params_m, "batch_stats": state.stats_m}
+    g_params = state.ema_g if state.ema_g is not None else state.params_g
+    dataset = val_state["dataset"]
+    metrics = val_state["metrics"]
+    results = {m: 0.0 for m in metrics}
+    n = min(len(dataset), val_state["max_items"])
+    for idx in range(n):
+        item = dataset[idx]
+        out = np.asarray(val_state["fwd"](
+            g_params, m_vars,
+            jnp.asarray(item["source"])[None],
+            jnp.asarray(item["driving"])[None],
+        ))
+        result_img = arr2img(out, rgb2bgr=True)
+        gt_img = arr2img(item["driving"], rgb2bgr=True)
+        for mname, mopt in metrics.items():
+            if mname in ("psnr", "ssim", "l1"):
+                results[mname] += calculate_metric(
+                    dict(img1=result_img, img2=gt_img), mopt)
+    for mname in results:
+        if mname in ("psnr", "ssim", "l1"):
+            results[mname] /= max(n, 1)
+            logger.info(f"Validation @ {current_iter} # {mname}: "
+                        f"{results[mname]:.4f}")
+            if tb_logger is not None:
+                tb_logger.add_scalar(f"metrics/{mname}", results[mname],
+                                     current_iter)
     if tb_logger is not None:
         tb_logger.close()
 

@@ -128,14 +128,15 @@ def cosine_annealing_restart_lr(base_lr: float, periods,
     return schedule
 
 
-def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any]):
+def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any],
+                    warmup_iter: int = -1):
     """Returns (gradient transform, lr schedule over the GLOBAL step).
 
     The lr is applied manually from the global iteration count so that all
     three schedulers step per-iteration like the reference
     (base_model.py:144-165), even though the D optimizer only starts
-    applying updates after net_d_start_iter.
-    """
+    applying updates after net_d_start_iter. warmup_iter > 0 scales the
+    schedule linearly up from 0 (base_model.py:152-161)."""
     lr = float(opt_cfg.get("lr", 8e-5))
     betas = opt_cfg.get("betas", [0.9, 0.99])
     wd = float(opt_cfg.get("weight_decay", 0.0))
@@ -157,6 +158,10 @@ def _make_optimizer(opt_cfg: Dict[str, Any], sched_cfg: Dict[str, Any]):
         )
     else:
         schedule = lambda step: jnp.asarray(lr, jnp.float32)
+    if warmup_iter > 0:
+        base_schedule = schedule
+        schedule = lambda step: base_schedule(step) * jnp.minimum(
+            jnp.asarray(step, jnp.float32) / warmup_iter, 1.0)
     tx = optax.scale_by_adam(b1=betas[0], b2=betas[1])
     if wd > 0:
         tx = optax.chain(tx, optax.add_decayed_weights(wd))
@@ -243,11 +248,12 @@ class Trainer:
         self.use_adaptive_weight = bool(t.get("use_adaptive_weight", True))
         self.total_iter = int(t.get("total_iter", 250000))
         sched = t.get("scheduler", {})
-        self.tx_g, self.lr_g = _make_optimizer(t["optim_g"], sched)
+        warmup = int(t.get("warmup_iter", -1))
+        self.tx_g, self.lr_g = _make_optimizer(t["optim_g"], sched, warmup)
         self.tx_m, self.lr_m = _make_optimizer(
-            t.get("optim_motion", t["optim_g"]), sched
+            t.get("optim_motion", t["optim_g"]), sched, warmup
         )
-        self.tx_d, self.lr_d = _make_optimizer(t["optim_d"], sched)
+        self.tx_d, self.lr_d = _make_optimizer(t["optim_d"], sched, warmup)
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_batch) -> Tuple[TrainState, Any]:

@@ -116,7 +116,37 @@ def main():
     rel = err / (np.abs(ref).max() + 1e-12)
     print(f"generator out: max abs err {err:.2e} (rel {rel:.2e})")
     assert err < 5e-3, "generator output diverges from the reference"
-    print("FULL-PIPELINE GOLDEN PARITY OK")
+    print("INFERENCE GOLDEN PARITY OK")
+
+    if "--train" in sys.argv:
+        # train-mode forward: commit losses, motion recon, low-res decode
+        with torch.no_grad():
+            t_tr = t_g(ts, t_dm, w=1, inference=False, gt=td)
+        tr = jax.jit(
+            lambda v, s, m, g: net_g.apply(v, s, m, gt=g)
+        )(g_vars, src, dm, drv)
+        for k in ("codebook_loss_motion_list", "codebook_loss_app_list"):
+            ref_l = [float(x) for x in t_tr[k]]
+            got_l = [float(x) for x in tr[k]]
+            err = max(abs(a - b) for a, b in zip(ref_l, got_l))
+            print(f"train[{k}]: {got_l} vs {ref_l} (max err {err:.2e})")
+            assert err < 1e-4, k
+        for i, (tt, ff) in enumerate(zip(t_tr["motion_recon_list"],
+                                         tr["motion_recon_list"])):
+            d = np.abs(tt.numpy() - np.asarray(ff))
+            frac = float((d > 1e-3).mean())
+            print(f"train[motion_recon_{i}]: max abs err {d.max():.2e}, "
+                  f"mean {d.mean():.2e}, frac>1e-3 {frac:.4f}")
+            # recon decodes the QUANTIZED tokens: near-tie argmin flips
+            # under f32 rounding move single tokens to a neighboring
+            # codebook entry (discontinuous), so judge the mean and the
+            # flipped fraction, not the max
+            assert d.mean() < 1e-3 and frac < 0.02, f"motion_recon_{i}"
+        err = np.abs(t_tr["out_lr"][0].numpy().transpose(0, 2, 3, 1)
+                     - np.asarray(tr["out_lr"][0])).max()
+        print(f"train[out_lr]: max abs err {err:.2e}")
+        assert err < 5e-3
+        print("TRAIN-MODE GOLDEN PARITY OK")
 
 
 if __name__ == "__main__":
