@@ -91,7 +91,10 @@ def mimsave(frames: Sequence[np.ndarray], file_path: str, fps: int = 25):
     try:
         imageio.mimsave(file_path, frames, fps=fps)
         return
-    except (ValueError, ImportError, TypeError):
+    except Exception:
+        # imageio backends (notably pyav) can fail with backend-specific
+        # errors (AttributeError, av.FFmpegError, ...); any failure here
+        # routes to the cv2 writer
         pass
     if cv2 is None:
         raise RuntimeError("no video backend available (imageio/cv2)")
@@ -156,8 +159,13 @@ def read_video_frames(path: str, size: Optional[Tuple[int, int]] = None
                     frames.append(np.asarray(im)[..., :3])
             except RuntimeError:
                 pass
-            reader.close()
-        except (ValueError, ImportError):
+            try:
+                reader.close()
+            except Exception:
+                pass
+            if not frames:
+                raise ValueError("imageio decoded zero frames")
+        except Exception:
             # imageio has no ffmpeg backend — cv2 fallback
             cap = cv2.VideoCapture(path)
             if not cap.isOpened():
