@@ -1,11 +1,11 @@
 """Metric dispatch (parity target: metrics/__init__.py:14-24).
 
-PSNR/SSIM/L1 are self-contained. The external-model metrics (FID, LPIPS,
-AKD, AED, id-similarity, pose accuracy) are scoring tools built on third-
-party models (InceptionV3, face_alignment, OpenFace, insightface,
-mediapipe — SURVEY.md section 2, metrics row); they register lazily and
-raise a clear error if their dependency or weights are absent in this
-zero-egress environment.
+PSNR/SSIM/L1 are self-contained. FID, LPIPS and AED run natively on TPU
+through JAX ports of the reference's backbones (inception.py /
+lpips_jax.py / openface.py) given only their weight files; AKD,
+id-similarity and pose wrap third-party face models (face_alignment,
+insightface, mediapipe — SURVEY.md section 2, metrics row) and raise a
+clear error when the dependency or weights are absent.
 """
 from typing import Any, Dict
 
