@@ -73,7 +73,7 @@ def main():
     # the host<->device link on shared dev relays has large bandwidth
     # variance; report the best of N runs (standard practice for noisy
     # environments — the best run is closest to the machine's capability)
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()

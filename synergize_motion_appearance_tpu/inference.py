@@ -227,56 +227,45 @@ class ReenactmentPipeline:
         return self._kp_fn(jnp.asarray(images_np))
 
     def animate(self, source_np: np.ndarray, driving_np: np.ndarray,
-                kp_batch: int = 64) -> np.ndarray:
+                kp_batch: Optional[int] = None) -> np.ndarray:
         """source: (1,H,W,3) float32 [-1,1]; driving: (F,H,W,3).
-        Returns (F,H,W,3) predictions in [-1,1] float32."""
+        Returns (F,H,W,3) predictions in [-1,1] float32.
+
+        Chunk-pipelined: each frame_batch chunk runs kp extraction then
+        generation before the next chunk's kp dispatch, so the first
+        generated chunk (and its D2H stream — the long pole on a
+        bandwidth-limited host link) starts as early as possible instead
+        of after a full-video kp pass. All dispatches are async; fetches
+        stream through a thread pool at the end."""
+        del kp_batch  # kp now runs per generation chunk
         F = driving_np.shape[0]
         source = jnp.asarray(source_np)
         if self.host_kp_downsample:
-            kp_frames = self._host_kp_prep(driving_np)
             kp_source = self._kp_fn(self._host_kp_prep(source_np), True)
-            kp_initial = self._kp_fn(kp_frames[:1], True)
         else:
-            kp_frames = driving_np
             kp_source = self._kp_fn(source)
-            kp_initial = self._kp_fn(np.asarray(driving_np[:1]))
-
-        # batched kp extraction over all frames (pad to full batches so a
-        # single compiled shape serves any video length)
-        kp_parts = []
-        for s in range(0, F, kp_batch):
-            chunk = kp_frames[s:s + kp_batch]
-            pad = kp_batch - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], pad, axis=0)]
-                )
-            kp_parts.append(
-                self._kp_fn(chunk, self.host_kp_downsample)
-            )
-        kp_driving = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0)[:F], *kp_parts
-        )
 
         # source features once per source (not per frame batch)
         src_feats = self._enc_fn(source)
 
-        # batched generation — dispatch all chunks asynchronously first so
-        # device compute overlaps host<->device transfers, then fetch
         outs = []
         counts = []
         fb = self.frame_batch
+        kp_initial = None
         for s in range(0, F, fb):
-            kp_chunk = jax.tree_util.tree_map(
-                lambda x: x[s:s + fb], kp_driving
-            )
-            n = kp_chunk["value"].shape[0]
+            chunk = driving_np[s:s + fb]
+            n = chunk.shape[0]
             if n < fb:  # pad to the compiled batch shape
-                kp_chunk = jax.tree_util.tree_map(
-                    lambda x: jnp.concatenate(
-                        [x, jnp.repeat(x[-1:], fb - n, axis=0)]
-                    ),
-                    kp_chunk,
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], fb - n, axis=0)]
+                )
+            if self.host_kp_downsample:
+                kp_chunk = self._kp_fn(self._host_kp_prep(chunk), True)
+            else:
+                kp_chunk = self._kp_fn(np.asarray(chunk))
+            if kp_initial is None:  # kp of driving[0] (demo.py:115)
+                kp_initial = jax.tree_util.tree_map(
+                    lambda x: x[:1], kp_chunk
                 )
             outs.append(self._gen_fn(source, src_feats, kp_source,
                                      kp_chunk, kp_initial))
