@@ -245,16 +245,40 @@ class PerceptualLoss:
 
 @LOSS_REGISTRY.register(name="LPIPSLoss")
 class LPIPSLoss:
-    """LPIPS training loss (losses.py:389-415). Needs the external lpips
-    weights; raises a clear error without them."""
+    """LPIPS training loss (losses.py:389-415) on the native LPIPS-VGG16
+    backbone (metrics/lpips_jax.py). Weights are discovered the same way
+    as the LPIPS metric (SAMT_LPIPS_WEIGHTS / SAMT_WEIGHTS_DIR); without
+    them construction raises a clear error."""
 
-    def __init__(self, loss_weight=1.0, **_):
-        raise NotImplementedError(
-            "LPIPSLoss needs the external lpips VGG weights (unavailable "
-            "in zero-egress images). Use MultiScalePyramidPerceptualLoss "
-            "(the flagship config's perceptual term) or provide converted "
-            "lpips weights."
-        )
+    def __init__(self, loss_weight=1.0, range_norm=False, **_):
+        from ..metrics.external import _find_weights, _load_params, _missing
+
+        wpath = _find_weights("SAMT_LPIPS_WEIGHTS",
+                              ["lpips_vgg.npz", "lpips_vgg.pth"], "lpips")
+        if wpath is None:
+            raise _missing("lpips", "SAMT_LPIPS_WEIGHTS",
+                           ["lpips_vgg.npz", "lpips_vgg.pth"])
+        if wpath.endswith(".pth"):
+            raise RuntimeError(
+                "LPIPS .pth needs both the vgg16 backbone and the lin "
+                "heads — merge them into lpips_vgg.npz with "
+                "tools/convert_metric_weights.py --lpips <vgg16.pth> "
+                "<lins.pth>")
+        self.params = _load_params(wpath, None)
+        self.loss_weight = loss_weight
+        self.range_norm = range_norm
+
+    def __call__(self, x, gt):
+        from ..metrics.lpips_jax import lpips_distance
+
+        # reference lpips normalize=True takes [0,1]; range_norm maps
+        # [-1,1] inputs there first (losses.py:399-414). Our backbone
+        # takes [-1,1] directly, so invert when inputs are [0,1].
+        if not self.range_norm:
+            x = x * 2.0 - 1.0
+            gt = gt * 2.0 - 1.0
+        d = lpips_distance(self.params, x, jax.lax.stop_gradient(gt))
+        return self.loss_weight * jnp.mean(d)
 
 
 @LOSS_REGISTRY.register(name="TPSM_EquivarianceLoss")

@@ -23,6 +23,18 @@ from .vqgan_extras import (
     GumbelQuantizer,
     MSGenerator,
 )
+from .vgg import VGG19Features, VGGFeatureExtractor
+from .arch_util import (
+    DCNv2Pack,
+    ModulatedDeformConvPack,
+    ResidualBlockNoBN,
+    Upsample,
+    flow_warp,
+    make_layer,
+    resize_flow,
+    scaled_conv_kernel_init,
+    trunc_normal_init,
+)
 
 from ..utils.registry import ARCH_REGISTRY
 
@@ -40,6 +52,7 @@ for _cls in (
 # reference-compat aliases (archs/motion_estimator_arch.py:15,
 # archs/vqgan_arch.py:629)
 ARCH_REGISTRY.register(MotionEstimator, name="Motion_Estimator_keypoint_aware")
+ARCH_REGISTRY.register(VGGFeatureExtractor)
 ARCH_REGISTRY.register(AutoEncoderMSDecoder, name="AutoEncoder_MSDecoder")
 
 

@@ -58,6 +58,8 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Any = None
+    kernel_init: Any = None  # defaults to torch conv init
+    bias_init: Any = None  # defaults to torch uniform(+-1/sqrt(fan_in))
 
     @nn.compact
     def __call__(self, x):
@@ -74,8 +76,8 @@ class Conv2d(nn.Module):
             padding=pad,
             feature_group_count=self.groups,
             use_bias=self.use_bias,
-            kernel_init=torch_conv_kernel_init,
-            bias_init=torch_bias_init(fan_in),
+            kernel_init=self.kernel_init or torch_conv_kernel_init,
+            bias_init=self.bias_init or torch_bias_init(fan_in),
             dtype=self.dtype,
         )(x)
 

@@ -61,3 +61,81 @@ class VGG19Features(nn.Module):
             if len(outs) == 5:
                 break
         return outs
+
+
+# layer-name sequences per vgg type (vgg_arch.py:13-36); channels of a
+# conv follow its block index: block 1..5 -> 64/128/256/512/512
+_VGG_NAMES = {
+    "vgg11": [
+        "conv1_1", "relu1_1", "pool1", "conv2_1", "relu2_1", "pool2",
+        "conv3_1", "relu3_1", "conv3_2", "relu3_2", "pool3",
+        "conv4_1", "relu4_1", "conv4_2", "relu4_2", "pool4",
+        "conv5_1", "relu5_1", "conv5_2", "relu5_2", "pool5"],
+    "vgg13": [
+        "conv1_1", "relu1_1", "conv1_2", "relu1_2", "pool1",
+        "conv2_1", "relu2_1", "conv2_2", "relu2_2", "pool2",
+        "conv3_1", "relu3_1", "conv3_2", "relu3_2", "pool3",
+        "conv4_1", "relu4_1", "conv4_2", "relu4_2", "pool4",
+        "conv5_1", "relu5_1", "conv5_2", "relu5_2", "pool5"],
+    "vgg16": [
+        "conv1_1", "relu1_1", "conv1_2", "relu1_2", "pool1",
+        "conv2_1", "relu2_1", "conv2_2", "relu2_2", "pool2",
+        "conv3_1", "relu3_1", "conv3_2", "relu3_2", "conv3_3", "relu3_3",
+        "pool3",
+        "conv4_1", "relu4_1", "conv4_2", "relu4_2", "conv4_3", "relu4_3",
+        "pool4",
+        "conv5_1", "relu5_1", "conv5_2", "relu5_2", "conv5_3", "relu5_3",
+        "pool5"],
+    "vgg19": [
+        "conv1_1", "relu1_1", "conv1_2", "relu1_2", "pool1",
+        "conv2_1", "relu2_1", "conv2_2", "relu2_2", "pool2",
+        "conv3_1", "relu3_1", "conv3_2", "relu3_2", "conv3_3", "relu3_3",
+        "conv3_4", "relu3_4", "pool3",
+        "conv4_1", "relu4_1", "conv4_2", "relu4_2", "conv4_3", "relu4_3",
+        "conv4_4", "relu4_4", "pool4",
+        "conv5_1", "relu5_1", "conv5_2", "relu5_2", "conv5_3", "relu5_3",
+        "conv5_4", "relu5_4", "pool5"],
+}
+_BLOCK_CHANNELS = {1: 64, 2: 128, 3: 256, 4: 512, 5: 512}
+
+
+class VGGFeatureExtractor(nn.Module):
+    """Named-layer VGG extractor (vgg_arch.py:57-164): forward returns a
+    {layer_name: feature} dict for the requested taps. Params are named
+    by layer (``conv3_2``) so torchvision weights map positionally."""
+
+    layer_name_list: Sequence[str]
+    vgg_type: str = "vgg19"
+    use_input_norm: bool = True
+    range_norm: bool = False
+    remove_pooling: bool = False
+    pooling_stride: int = 2
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        names = _VGG_NAMES[self.vgg_type]
+        for v in self.layer_name_list:
+            if v not in names:
+                raise ValueError(f"layer {v!r} not in {self.vgg_type}")
+        max_idx = max(names.index(v) for v in self.layer_name_list)
+        if self.range_norm:
+            x = (x + 1.0) / 2.0
+        if self.use_input_norm:
+            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        wanted = set(self.layer_name_list)
+        out: Dict[str, jnp.ndarray] = {}
+        for name in names[:max_idx + 1]:
+            if name.startswith("conv"):
+                block = int(name[4])
+                x = Conv2d(_BLOCK_CHANNELS[block], (3, 3), padding=1,
+                           name=name)(x)
+            elif name.startswith("relu"):
+                x = jax.nn.relu(x)
+            elif name.startswith("pool"):
+                if self.remove_pooling:
+                    continue
+                x = nn.max_pool(x, (2, 2), strides=(self.pooling_stride,
+                                                    self.pooling_stride))
+            if name in wanted:
+                out[name] = x
+        return out

@@ -130,3 +130,32 @@ def test_aed_pipeline(tmp_path, weights_dir):
     # embeddings are l2-normalized -> squared distance <= 4
     assert v <= 4.0
     assert calculate_aed(str(d1), str(d1)) < 1e-8
+
+
+def test_lpips_training_loss(weights_dir):
+    """LPIPSLoss (losses.py LPIPSLoss, reference losses.py:389-415) loads
+    the same discovered weights and is differentiable."""
+    from synergize_motion_appearance_tpu.losses import build_loss
+    from synergize_motion_appearance_tpu.metrics.lpips_jax import LPIPSVgg
+
+    with pytest.raises(RuntimeError, match="lpips"):
+        build_loss({"type": "LPIPSLoss", "loss_weight": 1.0})
+
+    params = LPIPSVgg().init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)),
+                             jnp.zeros((1, 32, 32, 3)))["params"]
+    params = {k: (jnp.abs(v) if k.startswith("lin") else v)
+              for k, v in params.items()}
+    _save_npz(jax.tree_util.tree_map(np.asarray, params),
+              weights_dir / "lpips_vgg.npz")
+
+    loss = build_loss({"type": "LPIPSLoss", "loss_weight": 2.0,
+                       "range_norm": True})
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+    gt = jnp.asarray(rng.rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+    v = loss(x, gt)
+    assert np.isfinite(float(v)) and float(v) > 0
+    assert float(loss(gt, gt)) < 1e-6
+    g = jax.grad(lambda a: loss(a, gt))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
