@@ -36,7 +36,10 @@ def main():
     from synergize_motion_appearance_tpu.models import build_network
     from __graft_entry__ import _flagship_config
 
-    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "64"))
+    # fb=16 measured best across link conditions: small chunks interleave
+    # D2H with compute tightly, so slow-relay days degrade gracefully
+    # (fb sweep: 16 -> 66-68 fps, 32 -> 49-120, 64 -> 36-40 on a slow day)
+    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", "16"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "256"))
 
     cfg = _flagship_config(256)
@@ -61,10 +64,13 @@ def main():
         lambda k, s_, dm: net_g.init(k, s_, dm, inference=True)
     )(jax.random.PRNGKey(1), s, dense_motion)
 
+    # codec-native I420 D2H (half the bytes of RGB; video encoders
+    # consume I420 directly — the fetch threads still hand back RGB)
+    yuv = os.environ.get("BENCH_IO", "yuv420") == "yuv420"
     pipeline = ReenactmentPipeline(
         net_g, motion_estimator, g_vars, m_vars,
         relative=True, adapt_scale=True, frame_batch=frame_batch,
-        u8_io=True, host_kp_downsample=True,
+        u8_io=True, host_kp_downsample=True, yuv420_io=yuv,
     )
 
     # warmup (compile)

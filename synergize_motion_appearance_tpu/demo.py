@@ -70,6 +70,10 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 inference (fastest on TPU; "
                              "default float32 for exact parity)")
+    parser.add_argument("--fast", action="store_true",
+                        help="production IO path: bf16 compute, uint8 "
+                             "frames over the host link, codec-native "
+                             "I420 D2H, host-side kp downsampling")
     parser.add_argument("--audio", action="store_true")
     parser.add_argument("--cpu", action="store_true")
     opt = parser.parse_args(argv)
@@ -107,8 +111,15 @@ def main(argv=None):
         net_g, motion_estimator, g_vars, m_vars,
         relative=opt.relative, adapt_scale=opt.adapt_scale,
         frame_batch=opt.frame_batch,
-        compute_dtype=jnp.bfloat16 if opt.bf16 else None,
+        compute_dtype=jnp.bfloat16 if (opt.bf16 or opt.fast) else None,
+        u8_io=opt.fast, yuv420_io=opt.fast, host_kp_downsample=opt.fast,
     )
+    if opt.fast:
+        # feed uint8 straight through; normalization runs on device
+        source = np.clip((source + 1.0) * 127.5, 0,
+                         255).astype(np.uint8)
+        driving = np.clip((driving + 1.0) * 127.5, 0,
+                          255).astype(np.uint8)
 
     if opt.find_best_frame or opt.best_frame is not None:
         anchor = (opt.best_frame if opt.best_frame is not None
@@ -118,12 +129,16 @@ def main(argv=None):
     else:
         preds = pipeline.animate(source, driving)
 
-    pred_imgs = [arr2img(p, rgb2bgr=False) for p in preds]  # RGB uint8
+    if preds.dtype == np.uint8:  # --fast path returns RGB uint8 directly
+        pred_imgs = list(preds)
+    else:
+        pred_imgs = [arr2img(p, rgb2bgr=False) for p in preds]  # RGB uint8
     mimsave(pred_imgs, opt.result_video, fps=fps)
     print(f"Saved {len(pred_imgs)} frames to {opt.result_video}")
 
     if opt.visual_video is not None:
-        src_img = arr2img(source, rgb2bgr=False)
+        src_img = (source[0] if source.dtype == np.uint8
+                   else arr2img(source, rgb2bgr=False))
         visual = [
             np.concatenate((src_img, frames_rgb[i], pred_imgs[i]), axis=1)
             for i in range(len(pred_imgs))

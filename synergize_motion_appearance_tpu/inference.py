@@ -67,7 +67,8 @@ class ReenactmentPipeline:
                  relative: bool = False, adapt_scale: bool = False,
                  frame_batch: int = 8, w: float = 1.0,
                  compute_dtype=jnp.bfloat16, u8_io: bool = False,
-                 host_kp_downsample: bool = False, mesh=None):
+                 host_kp_downsample: bool = False, mesh=None,
+                 yuv420_io: bool = False):
         self.net_g = net_g
         self.motion_estimator = motion_estimator
         self.relative = relative
@@ -76,6 +77,11 @@ class ReenactmentPipeline:
         self.w = w
         self.compute_dtype = compute_dtype
         self.u8_io = u8_io  # uint8 across the host link, both directions
+        # D2H generated frames as codec-native packed I420 (1.5 B/px vs
+        # 3 — the D2H stream is the dominant link traffic); the fetch
+        # threads convert back to RGB with cv2, so the external API is
+        # unchanged. Requires u8_io.
+        self.yuv420_io = yuv420_io and u8_io
         # pre-blur+stride driving frames to the kp detector's working
         # resolution on the host (identical math) — 16x less kp traffic
         self.host_kp_downsample = host_kp_downsample
@@ -216,6 +222,10 @@ class ReenactmentPipeline:
             g_vars, source, dense_motion, w=self.w, inference=True,
             source_feats=src_feats,
         )["out"]
+        if self.yuv420_io:
+            from .ops.color import rgb_to_yuv420
+
+            return rgb_to_yuv420(out)
         if self.u8_io:
             out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
             return jnp.round((out + 1.0) * 127.5).astype(jnp.uint8)
@@ -274,10 +284,21 @@ class ReenactmentPipeline:
         # still compute (and multiple streams share the host link)
         from concurrent.futures import ThreadPoolExecutor
 
+        if self.yuv420_io:
+            import cv2
+
+            def fetch(on):
+                packed = np.asarray(on[0][:on[1]])  # (n, H*3/2, W) I420
+                return np.stack([
+                    cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
+                    for p in packed
+                ])
+        else:
+            def fetch(on):
+                return np.asarray(on[0][:on[1]])
+
         with ThreadPoolExecutor(max_workers=4) as pool:
-            host = list(pool.map(
-                lambda on: np.asarray(on[0][:on[1]]), zip(outs, counts)
-            ))
+            host = list(pool.map(fetch, zip(outs, counts)))
         return np.concatenate(host, axis=0)
 
     def animate_with_anchor(self, source_np, driving_np,

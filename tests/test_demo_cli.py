@@ -53,3 +53,28 @@ def test_demo_cli_end_to_end(tmp_path):
     frames, _ = read_video_frames(str(out))
     assert len(frames) == 7
     assert frames[0].shape[:2] == (64, 64)
+
+
+def test_demo_cli_fast_path(tmp_path):
+    """--fast: bf16 + uint8 link + I420 D2H + host kp downsampling."""
+    src, drv = _make_inputs(tmp_path)
+    out = tmp_path / "result_fast.mp4"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, "-m", "synergize_motion_appearance_tpu.demo",
+         "--config", osp.join(REPO, "options", "tiny.yml"),
+         "--source_image", str(src),
+         "--driving_video", str(drv),
+         "--result_video", str(out),
+         "--relative", "--adapt_scale", "--fast",
+         "--frame_batch", "4"],
+        capture_output=True, text=True, env=env, timeout=1500,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    from synergize_motion_appearance_tpu.utils.img_util import (
+        read_video_frames,
+    )
+
+    frames, _ = read_video_frames(str(out))
+    assert len(frames) == 7
+    assert frames[0].shape[:2] == (64, 64)
