@@ -141,15 +141,22 @@ class ReenactmentPipeline:
 
     def _host_kp_prep(self, frames_np: np.ndarray) -> np.ndarray:
         """uint8/float frames -> normalized frames at the kp working
-        resolution, in bf16 (halves upload bytes; kp math upcasts)."""
+        resolution, in bf16 (halves upload bytes; kp math upcasts).
+
+        uint8 inputs blur in the uint8 domain (cv2 SIMD, ~3.5x faster on
+        the single host core; mid-gray border = the float path's zero
+        pad). Error vs the float path is sub-lsb — below the bf16 noise
+        the kp detector already runs at."""
         import ml_dtypes
 
-        from .ops.coords import antialias_downsample_host
+        from .ops.coords import antialias_downsample_host, blur_stride_u8
 
         f = np.asarray(frames_np)
         if f.dtype == np.uint8:
-            f = f.astype(np.float32) * (2.0 / 255.0) - 1.0
-        small = antialias_downsample_host(f, self.kp_scale)
+            small_u8 = blur_stride_u8(f, self.kp_scale)
+            small = small_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+        else:
+            small = antialias_downsample_host(f, self.kp_scale)
         return small.astype(ml_dtypes.bfloat16)
 
     def _enc_fn(self, source):

@@ -92,6 +92,19 @@ def antialias_downsample(x, scale: float):
     return out[:, ::s, ::s, :]
 
 
+def _strided_blur_matrix(n: int, k1: "np.ndarray", ka: int, s: int
+                         ) -> "np.ndarray":
+    """(n/s, n) matrix expressing zero-padded 1-D gaussian blur followed
+    by stride-s subsampling: row i holds the kernel centered at i*s."""
+    m = np.zeros((n // s, n), dtype=np.float32)
+    for i in range(n // s):
+        for t, kv in enumerate(k1):
+            j = i * s + t - ka
+            if 0 <= j < n:
+                m[i, j] = kv
+    return m
+
+
 def antialias_downsample_host(frames: "np.ndarray", scale: float
                               ) -> "np.ndarray":
     """Host-side (numpy/cv2) version of antialias_downsample with the
@@ -103,25 +116,40 @@ def antialias_downsample_host(frames: "np.ndarray", scale: float
     """
     if scale == 1.0:
         return frames
+    k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
+    k1 = (k2[ka] / np.sqrt(k2[ka, ka])).astype(np.float32)
+    F, H, W, C = frames.shape
+    # blur+stride is separable and linear -> two small BLAS gemms over
+    # the whole batch (order of magnitude faster than per-frame cv2
+    # filtering, and the output keeps only every s-th row/col anyway)
+    A = _strided_blur_matrix(H, k1, ka, s)           # (H/s, H)
+    Bm = _strided_blur_matrix(W, k1, ka, s)          # (W/s, W)
+    x = frames.transpose(1, 0, 2, 3).reshape(H, F * W * C)
+    y = (A @ x).reshape(H // s, F, W, C)             # vertical pass
+    y = y.transpose(2, 1, 0, 3).reshape(W, F * (H // s) * C)
+    z = (Bm @ y).reshape(W // s, F, H // s, C)       # horizontal pass
+    return np.ascontiguousarray(z.transpose(1, 2, 0, 3))
+
+
+def blur_stride_u8(frames: "np.ndarray", scale: float) -> "np.ndarray":
+    """uint8-domain antialias downsample: cv2 SIMD separable blur with a
+    mid-gray constant border (uint8 128 == the float path's zero pad in
+    the [-1,1] model domain), then stride. (F,H,W,C) u8 -> (F,H/s,W/s,C)
+    u8, within one lsb of antialias_downsample_host on the same frames."""
+    if scale == 1.0:
+        return frames
     import cv2
 
     k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
-    # the 2-D kernel is an outer product -> separable 1-D passes (8x less
-    # work than filter2D with the full kernel)
-    k1 = k2[ka] / np.sqrt(k2[ka, ka])  # normalized 1-D gaussian row
-    k1 = k1.astype(np.float32).reshape(-1, 1)
-    out = []
-    for f in frames:
-        if ka == kb:
-            blurred = cv2.sepFilter2D(f, -1, k1, k1,
-                                      borderType=cv2.BORDER_CONSTANT)
-        else:  # even kernel: explicit asymmetric pad + valid filter
-            padded = np.pad(f, ((ka, kb), (ka, kb), (0, 0)))
-            blurred = cv2.sepFilter2D(padded, -1, k1, k1,
-                                      borderType=cv2.BORDER_CONSTANT)
-            blurred = blurred[ka:-kb or None, ka:-kb or None]
-        out.append(blurred[::s, ::s])
-    return np.stack(out)
+    k1 = (k2[ka] / np.sqrt(k2[ka, ka])).astype(np.float32).reshape(-1, 1)
+    F, H, W, C = frames.shape
+    out = np.empty((F, H // s, W // s, C), np.uint8)
+    for i, f in enumerate(frames):
+        p = cv2.copyMakeBorder(f, ka, kb, ka, kb, cv2.BORDER_CONSTANT,
+                               value=(128, 128, 128))
+        b = cv2.sepFilter2D(p, -1, k1, k1)
+        out[i] = b[ka:-kb or None, ka:-kb or None][::s, ::s]
+    return out
 
 
 def convex_hull_area(points):

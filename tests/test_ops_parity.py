@@ -216,3 +216,18 @@ def test_tps_warp_and_jacobian():
     np.testing.assert_allclose(
         np.asarray(jac), jac_t.detach().numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_blur_stride_u8_matches_float_path():
+    """uint8-domain host antialias (inference fast path) tracks the
+    float-path blur within one quantization step."""
+    from synergize_motion_appearance_tpu.ops.coords import (
+        antialias_downsample_host, blur_stride_u8)
+
+    rng = np.random.RandomState(0)
+    u8 = (rng.rand(3, 64, 64, 3) * 255).astype(np.uint8)
+    got = blur_stride_u8(u8, 0.25).astype(np.float32) * (2 / 255.0) - 1
+    ref = antialias_downsample_host(
+        u8.astype(np.float32) * (2 / 255.0) - 1, 0.25)
+    assert got.shape == ref.shape == (3, 16, 16, 3)
+    assert np.abs(got - ref).max() < 0.008
