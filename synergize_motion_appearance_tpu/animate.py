@@ -86,9 +86,31 @@ def main(argv=None):
                                          f"{video_name}_v.mp4"))
             logger.info(f"Animated {video_name}: {preds.shape[0]} frames")
 
-        for mname in list(results):
-            if mname in ("psnr", "ssim", "l1") and count:
-                results[mname] /= count
+        # directory-level metric battery at dataset end
+        # (appmotioncomp_model.py:716-755 runs the same set after
+        # generate_video_image)
+        for mname, mopt in metrics_opt.items():
+            if mname in ("psnr", "ssim", "l1"):
+                if count:
+                    results[mname] /= count
+            elif mname == "fid":
+                results[mname] = calculate_metric(dict(paths=[
+                    osp.join(vis_root, name, "source"),
+                    osp.join(vis_root, name, "result"),
+                ]), mopt)
+            elif mname == "lpips":
+                results[mname] = calculate_metric(dict(
+                    path1=osp.join(vis_root, name, "result"),
+                    path2=osp.join(vis_root, name, "driving"),
+                ), mopt)
+            else:
+                gt_dir = ("source" if val_opt.get("cross_id") and
+                          mname in ("face_aed", "id_similarity")
+                          else "driving")
+                results[mname] = calculate_metric(dict(
+                    path_gt=osp.join(vis_root, name, gt_dir),
+                    path_generated=osp.join(vis_root, name, "result"),
+                ), mopt)
         if "l1" in results:
             results["l1_255"] = results["l1"] / 255.0
         for mname, v in results.items():

@@ -239,6 +239,14 @@ class Trainer:
         # (SURVEY.md: trade FLOPs for HBM). Without it the flagship 256²
         # step at batch 4/chip overflows a v5e's 16G HBM by ~0.5G.
         self.remat = bool(t.get("remat", True))
+        # opt-in mixed precision: run the generator forward and the VGG
+        # pyramid loss in bf16 (f32 master params/optimizer/losses; the
+        # cast is inside the grad so gradients land in f32). Motion
+        # estimator (batch-norm) and discriminator stay f32. Default off
+        # = exact reference numerics.
+        cd = t.get("compute_dtype")
+        self.compute_dtype = jnp.bfloat16 if cd in ("bfloat16", "bf16") \
+            else None
         self.scale_adaptive_gan_weight = float(
             t.get("scale_adaptive_gan_weight", 0.8)
         )
@@ -345,7 +353,23 @@ class Trainer:
 
             rng_tps = jax.random.fold_in(rng, 0)
 
+            cdt = self.compute_dtype
+
+            def _cast(tree, dt):
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(dt)
+                    if hasattr(a, "astype") and jnp.issubdtype(
+                        a.dtype, jnp.floating) else a,
+                    tree,
+                )
+
             def _g_forward(params_g, src, dm, gt_):
+                if cdt is not None:
+                    out = self.net_g.apply(
+                        {"params": _cast(params_g, cdt)}, _cast(src, cdt),
+                        _cast(dm, cdt), w=1.0, gt=_cast(gt_, cdt)
+                    )
+                    return _cast(out, jnp.float32)
                 return self.net_g.apply(
                     {"params": params_g}, src, dm, w=1.0, gt=gt_
                 )
@@ -353,10 +377,15 @@ class Trainer:
             g_forward = jax.checkpoint(_g_forward) if self.remat \
                 else _g_forward
             percep = self.cri_perceptual
-            if percep is not None and self.remat:
-                percep = jax.checkpoint(
-                    lambda vp, a, b: self.cri_perceptual(vp, a, b)
-                )
+            if percep is not None:
+                if cdt is not None:
+                    def _percep(vp, a, b):
+                        return self.cri_perceptual(
+                            _cast(vp, cdt), _cast(a, cdt), _cast(b, cdt)
+                        ).astype(jnp.float32)
+                else:
+                    _percep = lambda vp, a, b: self.cri_perceptual(vp, a, b)
+                percep = jax.checkpoint(_percep) if self.remat else _percep
 
             def g_loss_fn(params_g, params_m):
                 logs = {}

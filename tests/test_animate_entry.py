@@ -40,11 +40,31 @@ def test_animate_entry_end_to_end(tmp_path):
             "gt_size": 64,
         }
     }
+    # synthetic LPIPS weights -> the dir-level metric battery
+    # (appmotioncomp_model.py:716-755) runs natively at dataset end
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from synergize_motion_appearance_tpu.metrics.external import (
+        flatten_params)
+    from synergize_motion_appearance_tpu.metrics.lpips_jax import LPIPSVgg
+
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    lp = LPIPSVgg().init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1, 32, 32, 3)))["params"]
+    lp = {k: (jnp.abs(v) if k.startswith("lin") else v)
+          for k, v in lp.items()}
+    _np.savez(wdir / "lpips_vgg.npz", **flatten_params(
+        jax.tree_util.tree_map(_np.asarray, lp)))
+
     opt["val"] = {
         "relative": True, "adapt_scale": True,
         "metrics": {
             "psnr": {"type": "calculate_psnr", "crop_border": 0},
             "l1": {"type": "calculate_l1", "crop_border": 0},
+            "lpips": {"type": "calculate_lpips"},
         },
     }
     opt["path"] = {"save_path": str(tmp_path / "exp")}
@@ -52,7 +72,8 @@ def test_animate_entry_end_to_end(tmp_path):
     with open(opt_path, "w") as f:
         yaml.safe_dump(opt, f)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               SAMT_WEIGHTS_DIR=str(wdir))
     res = subprocess.run(
         [sys.executable, "-m", "synergize_motion_appearance_tpu.animate",
          "-opt", str(opt_path), "--frame_batch", "4"],
@@ -66,3 +87,4 @@ def test_animate_entry_end_to_end(tmp_path):
     assert len(results) == 5, sorted(os.listdir(vis / "result"))
     mp4s = list(vis.rglob("*.mp4"))
     assert mp4s, "no mp4 written"
+    assert "# lpips:" in res.stdout + res.stderr, (res.stdout + res.stderr)[-2000:]

@@ -141,3 +141,34 @@ def test_multichip_data_parallel(trainer_and_state):
     # params remain replicated (fully addressable on every device)
     leaf = jax.tree_util.tree_leaves(new_state.params_g)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_bf16_mixed_precision_step():
+    """train.compute_dtype=bfloat16: generator fwd + VGG pyramid in bf16,
+    f32 master params/losses. Step runs, losses finite and close to the
+    f32 step's, params move."""
+    opt = tiny_opt()
+    opt["train"]["compute_dtype"] = "bfloat16"
+    trainer = Trainer(opt)
+    batch = make_batch(2)
+    state, vgg_params = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step_fn = jax.jit(trainer.make_train_step())
+    state1, logs1 = step_fn(state, batch, jax.random.PRNGKey(1),
+                            vgg_params)
+    for k, v in logs1.items():
+        assert np.isfinite(float(v)), f"non-finite log {k}"
+    g0 = jax.tree_util.tree_leaves(state.params_g)[0]
+    g1 = jax.tree_util.tree_leaves(state1.params_g)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    # master params stay f32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state1.params_g))
+
+    f32 = Trainer(tiny_opt())
+    s32, vp32 = f32.init_state(jax.random.PRNGKey(0), batch)
+    _, logs32 = jax.jit(f32.make_train_step())(
+        s32, batch, jax.random.PRNGKey(1), vp32)
+    # bf16 losses track f32 within mixed-precision noise
+    a = float(logs1["l_g_total"])
+    b = float(logs32["l_g_total"])
+    assert abs(a - b) / max(abs(b), 1e-6) < 0.05, (a, b)

@@ -34,6 +34,9 @@ def main():
 
     opt = parse(osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                          "options", "train.yml"), is_train=True)
+    if os.environ.get("SAMT_TRAIN_BF16"):
+        opt["train"]["compute_dtype"] = "bfloat16"
+        print("mixed precision: bfloat16 generator fwd + VGG pyramid")
     trainer = Trainer(opt)
 
     rng = np.random.RandomState(0)
