@@ -347,12 +347,60 @@ def calculate_id_similarity(path_gt, path_generated,
     return float(np.mean(sims))
 
 
+def _pose_angles_dir(d: str, landmarker) -> List[Optional[np.ndarray]]:
+    """Per-image euler angles from mediapipe facial transformation
+    matrices (mp_utils_refine.py:40-95 -> pose_util euler decompose)."""
+    import mediapipe as mp
+
+    from .pose_util import matrix_to_euler_and_translation
+
+    out: List[Optional[np.ndarray]] = []
+    for f in _list_images(d):
+        rgb = (_imread_rgb01(f) * 255).astype(np.uint8)
+        res = landmarker.detect(
+            mp.Image(image_format=mp.ImageFormat.SRGB, data=rgb))
+        if len(res.facial_transformation_matrixes) != 1:
+            out.append(None)
+            continue
+        euler, _ = matrix_to_euler_and_translation(
+            np.asarray(res.facial_transformation_matrixes[0]))
+        out.append(euler)
+    return out
+
+
 @METRIC_REGISTRY.register(name="calculate_pose_accuracy")
+@METRIC_REGISTRY.register(name="calculate_pose_distance")
 def calculate_pose_accuracy(path_gt, path_generated, **kwargs) -> float:
     """L1 distance of mediapipe face-landmarker euler angles
-    (norm_pose/cmp_pose_accuracy.py:40-61)."""
+    (norm_pose/cmp_pose_accuracy.py:40-61).
+
+    Uses the stock mediapipe FaceLandmarker with
+    output_facial_transformation_matrixes (the reference vendors a
+    patched copy only to also expose the 3D mesh, which this metric
+    never reads). The .task model blob is discovered like every other
+    metric backbone weight."""
     _require("mediapipe", "pose_accuracy")
-    raise RuntimeError(
-        "pose_accuracy additionally needs the mediapipe face_landmarker "
-        ".task model blob (the reference ships it in .MISSING_LARGE_BLOBS "
-        "— not vendored). Provide it and wire LMKExtractor here.")
+    from mediapipe.tasks import python as mp_python
+    from mediapipe.tasks.python import vision
+
+    task = _find_weights(
+        "SAMT_FACE_LANDMARKER_TASK",
+        ["face_landmarker_v2_with_blendshapes.task", "face_landmarker.task"],
+        "pose_accuracy")
+    if task is None:
+        raise _missing(
+            "pose_accuracy", "SAMT_FACE_LANDMARKER_TASK",
+            ["face_landmarker_v2_with_blendshapes.task"],
+            " (mediapipe face-landmarker task blob; the reference ships "
+            "it in .MISSING_LARGE_BLOBS)")
+    landmarker = vision.FaceLandmarker.create_from_options(
+        vision.FaceLandmarkerOptions(
+            base_options=mp_python.BaseOptions(model_asset_path=task),
+            output_facial_transformation_matrixes=True, num_faces=1))
+    a1 = _pose_angles_dir(path_gt, landmarker)
+    a2 = _pose_angles_dir(path_generated, landmarker)
+    scores = [float(np.mean(np.abs(x - y)))
+              for x, y in zip(a1, a2) if x is not None and y is not None]
+    if not scores:
+        raise RuntimeError("pose_accuracy: no faces detected")
+    return float(np.mean(scores))

@@ -14,6 +14,7 @@ from .coords import (
     antialias_downsample,
     convex_hull_area,
 )
+from .color import rgb_to_yuv420, yuv420_to_rgb
 from .vq import vq_quantize, vq_lookup, vq_nearest_indices
 from .dcn import deform_conv2d, modulated_deform_conv2d
 from .stylegan_ops import fused_leaky_relu, upfirdn2d, make_resample_kernel
@@ -37,6 +38,8 @@ __all__ = [
     "softargmax_kp",
     "antialias_downsample",
     "convex_hull_area",
+    "rgb_to_yuv420",
+    "yuv420_to_rgb",
     "vq_quantize",
     "vq_lookup",
     "vq_nearest_indices",
