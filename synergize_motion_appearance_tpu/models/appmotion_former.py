@@ -36,6 +36,9 @@ from ..ops import (
     interpolate_flow,
     make_coordinate_grid,
     resize_bilinear,
+    resize_bilinear_at,
+    resize_tap_plan,
+    tap_reduce,
 )
 from .layers import Conv2d, Dense, GroupNorm32, leaky_relu
 from .transformer import TransformerLayer
@@ -66,6 +69,33 @@ def deform_input(inp, deformation):
     deformation = interpolate_flow(deformation, (h, w))
     return grid_sample(inp, deformation, align_corners=True,
                        padding_mode="zeros")
+
+
+def deform_input_resized(inp, deformation, out_size, point_fn=None):
+    """Point-for-point equal to
+    ``resize_bilinear(point_fn(deform_input(inp, deformation)),
+    (out_size, out_size), align_corners=True)`` for pointwise
+    ``point_fn`` (1x1 conv / relu), but evaluates the warp only at the
+    downsample's 2*out_size tap rows/cols per axis.
+
+    The reference warps encoder skips at full scale and immediately
+    downsamples (appmotioncodebook_arch.py:349-356 warp, then
+    F.interpolate at :416-418 / :648) — but an align_corners bilinear
+    downsample reads exactly 2 taps per output pixel, so at the 256
+    scale only 128x128 (context) / 64x64 (query) warped pixels are ever
+    consumed. Profiled on v5e: the full-res warp chain (2.1 GB packed
+    gather + layout copies + full-res 1x1 conv) was ~18% of generator
+    device time; this computes the same values 3-16x smaller.
+    """
+    B, H, W, C = inp.shape
+    ty, wy = resize_tap_plan(H, out_size)
+    tx, wx = resize_tap_plan(W, out_size)
+    flow = resize_bilinear_at(deformation, (H, W), ty, tx)
+    warped = grid_sample(inp, flow, align_corners=True,
+                         padding_mode="zeros")
+    if point_fn is not None:
+        warped = point_fn(warped)
+    return tap_reduce(warped, wy, wx)
 
 
 def occlude_input(inp, occlusion_map):
@@ -408,13 +438,16 @@ class AppMotionCompFormer(nn.Module):
 
     def motion_codebook_compensation(self, motion, query_feat,
                                      warp_source_feat, res=None,
-                                     inference=False):
+                                     inference=False, warp_ctx=None):
         """appmotioncodebook_arch.py:373-427.
 
         motion: (B, Hd, Wd, 2) flow residual in *pixel* units.
         query_feat: (B, t, t, dim_embd_motion) fused warp+kp query.
         warp_source_feat: (B, r, r, ch[r]) warped source feature (MRFA ctx).
         res: feature resolution for codebook splitting (None = full book).
+        warp_ctx: optional precomputed relu(to_context(warped)) at
+          (Hd, Wd) — the tap-composed fast path from `motion_pass`
+          (identical values; skips the full-res context chain).
         """
         B, Hd, Wd, _ = motion.shape
         t = self.token_hw
@@ -464,9 +497,13 @@ class AppMotionCompFormer(nn.Module):
             motion_f = resize_bilinear(query_emb, (Hd, Wd),
                                        align_corners=True)
             m_f = self.basic_motion_encoder(motion, motion_f)
-            r = warp_source_feat.shape[1]
-            warp_f = jax.nn.relu(self.to_context[r](warp_source_feat))
-            warp_f = resize_bilinear(warp_f, (Hd, Wd), align_corners=True)
+            if warp_ctx is not None:
+                warp_f = warp_ctx
+            else:
+                r = warp_source_feat.shape[1]
+                warp_f = jax.nn.relu(self.to_context[r](warp_source_feat))
+                warp_f = resize_bilinear(warp_f, (Hd, Wd),
+                                         align_corners=True)
             m_res = self.refine(m_f, warp_f)  # (B, Hd, Wd, 3)
         else:
             m_res = self._to_motion(query_emb)
@@ -641,22 +678,50 @@ class AppMotionCompFormer(nn.Module):
             driving_kp_feat = jax.nn.relu(self.driving_kp_enc(kp_heat))
 
         def motion_pass(feat_for_query, res):
-            """One motion-codebook compensation pass at feature `res`."""
+            """One motion-codebook compensation pass at feature `res`.
+
+            The query (->t^2) and MRFA-context (->Hd^2) consumers of the
+            warped feature only read the downsample taps, so at scales
+            above 2*Hd the full-resolution warp is replaced by exact
+            tap-composed warps (`deform_input_resized`)."""
             motion_q = motion_list[-1]
+            H = feat_for_query.shape[1]
+            need_dense = (
+                (self.warp_s_d_kp_query and 2 * t >= H)
+                or (self.MRFA_motion_enc and 2 * Hd >= H)
+                or not (self.warp_s_d_kp_query or self.MRFA_motion_enc)
+            )
+            warp_src_0 = (deform_input(feat_for_query, motion_q)
+                          if need_dense else None)
             if self.warp_s_d_kp_query:
-                warp_src_0 = deform_input(feat_for_query, motion_q)
-                ws = resize_bilinear(warp_src_0, (t, t), align_corners=True)
+                if warp_src_0 is not None:
+                    ws = resize_bilinear(warp_src_0, (t, t),
+                                         align_corners=True)
+                else:
+                    ws = deform_input_resized(feat_for_query, motion_q, t)
                 ws = jax.nn.relu(self.warped_source_enc[res](ws))
                 q_feat = self.motion_query_enc_1(
                     jnp.concatenate([ws, driving_kp_feat], axis=-1)
                 )
             else:
-                warp_src_0 = deform_input(feat_for_query, motion_q)
                 q_feat = None
+            warp_ctx = None
+            if self.MRFA_motion_enc:
+                def ctx_fn(v):
+                    return jax.nn.relu(self.to_context[res](v))
+
+                if warp_src_0 is not None:
+                    warp_ctx = resize_bilinear(ctx_fn(warp_src_0),
+                                               (Hd, Wd),
+                                               align_corners=True)
+                else:
+                    warp_ctx = deform_input_resized(
+                        feat_for_query, motion_q, Hd, point_fn=ctx_fn
+                    )
             m_res, m_recon, cb_loss = self.motion_codebook_compensation(
                 (motion_q - grid) * half, q_feat, warp_src_0,
                 res=res if self.motion_codebook_split else None,
-                inference=inference,
+                inference=inference, warp_ctx=warp_ctx,
             )
             if self.MRFA_motion_enc:
                 d_occ = m_res[..., 2:3]

@@ -2,6 +2,9 @@
 from .interp import (
     grid_sample,
     resize_bilinear,
+    resize_bilinear_at,
+    resize_tap_plan,
+    tap_reduce,
     resize_nearest,
     upsample_nearest,
     avg_pool_2x,
@@ -33,6 +36,9 @@ __all__ = [
     "upsample_nearest",
     "avg_pool_2x",
     "interpolate_flow",
+    "resize_bilinear_at",
+    "resize_tap_plan",
+    "tap_reduce",
     "make_coordinate_grid",
     "kp2gaussian",
     "softargmax_kp",

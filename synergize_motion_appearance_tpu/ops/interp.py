@@ -183,6 +183,73 @@ def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
     return m
 
 
+@functools.lru_cache(maxsize=256)
+def resize_tap_plan(in_size: int, out_size: int, align_corners: bool = True):
+    """Compact tap form of `_linear_resize_matrix`: indices ``idx``
+    (2*out_size,) into the input axis and weights ``w`` (out_size,
+    2*out_size) such that ``w @ x[idx] == resize_matrix @ x`` exactly
+    (each bilinear output reads at most 2 taps; the compact matmul sums
+    the same two contributions in the same lo-then-hi order, so results
+    are bit-identical to `resize_bilinear`).
+
+    Lets warp->downsample chains evaluate the warp only at the
+    ``2*out_size`` tap positions per axis instead of all ``in_size``
+    (see AppMotionCompFormer.motion_pass: the reference warps a 256^2
+    feature and immediately downsamples to 64^2/32^2, touching only
+    128/64 rows of it)."""
+    full = _linear_resize_matrix(in_size, out_size, align_corners)
+    idx = np.zeros(2 * out_size, dtype=np.int32)
+    w = np.zeros((out_size, 2 * out_size), dtype=np.float32)
+    for o in range(out_size):
+        nz = np.nonzero(full[o])[0]
+        lo = int(nz[0])
+        hi = int(nz[-1])
+        idx[2 * o] = lo
+        idx[2 * o + 1] = hi
+        w[o, 2 * o] = full[o, lo] if hi != lo else full[o, lo]
+        w[o, 2 * o + 1] = full[o, hi] if hi != lo else 0.0
+    return idx, w
+
+
+def resize_bilinear_at(x, out_hw, rows, cols, align_corners=True):
+    """Exactly ``resize_bilinear(x, out_hw)[:, rows][:, :, cols]`` without
+    materializing the full resize (each output row/col of a separable
+    resize is an independent dot, so row selection commutes). Used to
+    evaluate an upsampled flow field only at warp tap positions."""
+    B, H, W, C = x.shape
+    h, w = out_hw
+    if (H, W) == (h, w):
+        return x[:, np.asarray(rows)][:, :, np.asarray(cols)]
+    mh = _linear_resize_matrix(H, h, align_corners)[np.asarray(rows)]
+    mw = _linear_resize_matrix(W, w, align_corners)[np.asarray(cols)]
+    dt = x.dtype
+    if dt in (jnp.bfloat16, jnp.float16):
+        y = jnp.einsum("oh,bhwc->bowc", jnp.asarray(mh, dt), x)
+        return jnp.einsum("ow,bhwc->bhoc", jnp.asarray(mw, dt), y)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dt)
+
+
+def tap_reduce(x, wy, wx):
+    """Reduce a (B, 2h, 2w, C) tap grid (rows/cols gathered at
+    `resize_tap_plan` positions) to (B, h, w, C) with the plan's compact
+    weight matrices wy (h, 2h) / wx (w, 2w). Mirrors resize_bilinear's
+    dtype policy (bf16 reduces in bf16; else f32 HIGHEST) so composed
+    results match the dense path."""
+    dt = x.dtype
+    if dt in (jnp.bfloat16, jnp.float16):
+        y = jnp.einsum("oh,bhwc->bowc", jnp.asarray(wy, dt), x)
+        return jnp.einsum("ow,bhwc->bhoc", jnp.asarray(wx, dt), y)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,bhwc->bhoc", wx, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dt)
+
+
 def resize_bilinear(x, out_hw, align_corners=True):
     """(B,H,W,C) -> (B,h,w,C) bilinear resize, torch F.interpolate parity.
 
