@@ -19,9 +19,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+import numpy as np
+
 from ..ops import (
     antialias_downsample,
     grid_sample,
+    grid_sample_grouped,
     kp2gaussian,
     make_coordinate_grid,
 )
@@ -69,22 +72,14 @@ class DenseMotionNetwork(nn.Module):
         return jnp.concatenate([identity, driving_to_source], axis=1)
 
     def _deformed_source(self, source, sparse_motions):
-        Bk, Kp1 = sparse_motions.shape[:2]
-        _, h, w, C = source.shape
-        grids = sparse_motions.reshape(Bk * Kp1, h, w, 2)
-        if source.shape[0] == 1:
-            # broadcast fast path: all (frame, kp) warps gather from the
-            # single source image — no (B*(K+1)) materialized copies
-            warped = grid_sample(source, grids, align_corners=False,
-                                 padding_mode="zeros")
-        else:
-            src_rep = jnp.broadcast_to(
-                source[:, None], (Bk, Kp1, h, w, C)
-            ).reshape(Bk * Kp1, h, w, C)
-            # torch defaults in the reference: align_corners=False, zeros
-            warped = grid_sample(src_rep, grids, align_corners=False,
-                                 padding_mode="zeros")
-        return warped.reshape(Bk, Kp1, h, w, C)
+        """(B, K+1, h, w, C*(K+1)) group-major warp of the source under
+        every per-kp flow in one call. grid_sample_grouped keeps all
+        intermediates lane-dense — the per-(frame,kp) C=3 layout the
+        reference uses tile-pads 42x on TPU (torch defaults preserved:
+        align_corners=False, zeros padding)."""
+        return grid_sample_grouped(source, sparse_motions,
+                                   align_corners=False,
+                                   padding_mode="zeros")
 
     @nn.compact
     def __call__(self, source_image, kp_driving, kp_source,
@@ -101,15 +96,23 @@ class DenseMotionNetwork(nn.Module):
 
         heatmap = self._heatmaps((h, w), kp_driving, kp_source)  # (B,K+1,h,w)
         sparse_motion = self._sparse_motions((h, w), kp_driving, kp_source)
-        deformed = self._deformed_source(x, sparse_motion)  # (B,K+1,h,w,C)
+        C = x.shape[-1]
+        Kp1 = self.num_kp + 1
+        deformed_g = self._deformed_source(x, sparse_motion)  # (B,h,w,(K+1)C)
 
-        # concat along the per-kp channel: (B, h, w, (K+1)*(C+1))
+        # hourglass input channels interleave per kp: [heat_k, r, g, b]
+        # (dense_motion_arch.py:126-129). Concat the dense group-major
+        # blocks then apply the static interleave permutation in the
+        # 64-wide channel minor (one cheap fused pass — building the
+        # (B, h, w, K+1, C+1) rank-5 form directly tile-pads its minor).
         inp = jnp.concatenate(
-            [heatmap.transpose(0, 2, 3, 1)[..., None],
-             deformed.transpose(0, 2, 3, 1, 4)],
-            axis=-1,
-        )  # (B, h, w, K+1, C+1)
-        inp = inp.reshape(B, h, w, -1)
+            [heatmap.transpose(0, 2, 3, 1), deformed_g], axis=-1
+        )  # (B, h, w, (K+1) + (K+1)*C)
+        perm = np.concatenate(
+            [np.concatenate(([k], Kp1 + k * C + np.arange(C)))
+             for k in range(Kp1)]
+        )
+        inp = inp[..., perm]
 
         prediction = Hourglass(
             self.block_expansion,
@@ -131,7 +134,10 @@ class DenseMotionNetwork(nn.Module):
 
         out = {
             "sparse_motion": sparse_motion,
-            "sparse_deformed": deformed,
+            # reference layout (B, K+1, h, w, C); nothing on the forward
+            # path consumes it, so XLA dead-code-eliminates the transpose
+            "sparse_deformed": deformed_g.reshape(
+                B, h, w, Kp1, C).transpose(0, 3, 1, 2, 4),
             "mask": mask,
             "deformation": deformation,
             "kp_heatmap": heatmap,

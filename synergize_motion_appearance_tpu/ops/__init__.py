@@ -1,6 +1,7 @@
 """TPU-native op kernels (jnp reference impls + Pallas hot paths)."""
 from .interp import (
     grid_sample,
+    grid_sample_grouped,
     resize_bilinear,
     resize_bilinear_at,
     resize_tap_plan,
@@ -31,6 +32,7 @@ from .tps import (
 
 __all__ = [
     "grid_sample",
+    "grid_sample_grouped",
     "resize_bilinear",
     "resize_nearest",
     "upsample_nearest",

@@ -47,13 +47,10 @@ def _reflect(x, lo, hi):
     return jnp.where(x > span, 2.0 * span - x, x) + lo
 
 
-def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
-    """Bilinear backward warp. img: (B,H,W,C); grid: (B,Hg,Wg,2) xy in [-1,1].
-
-    Returns (B, Hg, Wg, C). Matches torch.nn.functional.grid_sample with
-    mode='bilinear' for padding_mode in {'zeros','border','reflection'}.
-    """
-    B, H, W, C = img.shape
+def _warp_gather_plan(H, W, grid, align_corners, padding_mode):
+    """Shared grid_sample sampling math: returns the flattened base-corner
+    gather indices (…,) s32 and the 4 per-pixel f32 slot weights
+    (a0..a3) for a corner-packed gather (see grid_sample below)."""
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
 
@@ -83,33 +80,9 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    Bg = grid.shape[0]
-
-    # --- corner-packed single gather -------------------------------------
-    # XLA lowers each corner gather to 128B-granule random reads and pads
-    # the (N, C) output to 128 lanes; four of them per warp dominate the
-    # generator's HBM time. Packing the 4 corner values into channels
-    # ([v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] via rolls — the packed
-    # image is tiny next to the gather output) turns the warp into ONE
-    # lane-aligned gather of (N, 4C): measured ~2x faster at both hot
-    # shapes (1->64 256²x64 and the 16-way dense-motion warp).
-    rx = jnp.roll(img, -1, axis=2)
-    ry = jnp.roll(img, -1, axis=1)
-    rxy = jnp.roll(rx, -1, axis=1)
-    packed = jnp.concatenate([img, rx, ry, rxy], axis=-1)  # (B, H, W, 4C)
-
     sx = jnp.clip(ix0, 0, W - 1).astype(jnp.int32)
     sy = jnp.clip(iy0, 0, H - 1).astype(jnp.int32)
     flat = sy * W + sx
-    if B == 1 and Bg > 1:
-        # broadcast fast path: many grids over one image — gather from the
-        # single image without materializing Bg copies
-        p = jnp.take(packed.reshape(H * W, 4 * C), flat.reshape(-1), axis=0)
-        p = p.reshape(Bg, *flat.shape[1:], 4 * C)
-    else:
-        p = jnp.take_along_axis(packed.reshape(B, H * W, 4 * C),
-                                flat.reshape(B, -1)[..., None], axis=1)
-        p = p.reshape(B, *flat.shape[1:], 4 * C)
 
     # wrap/clamp slot corrections: when x0 (resp. y0) clipped up to 0, the
     # +1 corner coincides with the gathered base pixel (torch clips each
@@ -145,6 +118,45 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
     a1 = cx * (w01 + w11 * ncy)
     a2 = cy * (w10 + w11 * ncx)
     a3 = w11 * (cx * cy)
+    return flat, (a0, a1, a2, a3)
+
+
+def _pack_corners(img):
+    """(B, H, W, C) -> (B, H, W, 4C) with the 4 bilinear corner values of
+    each base pixel packed into channels:
+    [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] via rolls. XLA lowers each
+    corner gather to 128B-granule random reads and pads (N, C) outputs to
+    128 lanes; packing makes the warp ONE lane-aligned gather of (N, 4C)
+    — measured ~2x faster at both hot shapes (1->64 256²x64 and the
+    16-way dense-motion warp). Rolled slots would wrap at the far edge,
+    but those corners are OOB and zero-weighted by the plan."""
+    rx = jnp.roll(img, -1, axis=2)
+    ry = jnp.roll(img, -1, axis=1)
+    rxy = jnp.roll(rx, -1, axis=1)
+    return jnp.concatenate([img, rx, ry, rxy], axis=-1)
+
+
+def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
+    """Bilinear backward warp. img: (B,H,W,C); grid: (B,Hg,Wg,2) xy in [-1,1].
+
+    Returns (B, Hg, Wg, C). Matches torch.nn.functional.grid_sample with
+    mode='bilinear' for padding_mode in {'zeros','border','reflection'}.
+    """
+    B, H, W, C = img.shape
+    Bg = grid.shape[0]
+    flat, (a0, a1, a2, a3) = _warp_gather_plan(
+        H, W, grid, align_corners, padding_mode)
+    packed = _pack_corners(img)
+
+    if B == 1 and Bg > 1:
+        # broadcast fast path: many grids over one image — gather from the
+        # single image without materializing Bg copies
+        p = jnp.take(packed.reshape(H * W, 4 * C), flat.reshape(-1), axis=0)
+        p = p.reshape(Bg, *flat.shape[1:], 4 * C)
+    else:
+        p = jnp.take_along_axis(packed.reshape(B, H * W, 4 * C),
+                                flat.reshape(B, -1)[..., None], axis=1)
+        p = p.reshape(B, *flat.shape[1:], 4 * C)
 
     # coordinates/weights are computed in f32 (pixel positions need the
     # mantissa), but the 4-corner blend runs in the image dtype so bf16
@@ -157,6 +169,58 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
     out = (p[..., 0:C] * a0 + p[..., C:2 * C] * a1
            + p[..., 2 * C:3 * C] * a2 + p[..., 3 * C:] * a3)
     return out.astype(img.dtype)
+
+
+def grid_sample_grouped(img, grids, align_corners=False,
+                        padding_mode="zeros"):
+    """K-way warp of ONE image with group-major dense output.
+
+    img: (1 or B, H, W, C); grids: (B, K, Hg, Wg, 2). Returns
+    (B, Hg, Wg, K*C) where channel k*C+c is grid_sample(img, grids[:, k])
+    channel c — same per-sample math as `grid_sample`, different output
+    layout. Batch-1 img broadcasts against all (frame, k) grids.
+
+    Why: the dense-motion 16-way source warp (dense_motion_arch.py:
+    106-116) produces (B*K, h, w, 3) tensors whose 3-channel minor dim
+    tile-pads 42x on TPU (1.07 GB of HBM for 25 MB of data per
+    elementwise pass). Here the packed-corner gather is transposed into
+    a dense (B, N, K*4C) form ONCE and the slot blend runs as an
+    elementwise multiply + a tiny constant matmul, so no materialized
+    tensor has a sub-lane minor dim.
+    """
+    B, K, Hg, Wg, _ = grids.shape
+    _, H, W, C = img.shape
+    N = Hg * Wg
+    flat, aws = _warp_gather_plan(
+        H, W, grids.reshape(B * K, Hg, Wg, 2), align_corners, padding_mode)
+    packed = _pack_corners(img)
+
+    if img.shape[0] == 1:
+        p = jnp.take(packed.reshape(H * W, 4 * C), flat.reshape(-1),
+                     axis=0)
+    else:
+        p = jnp.take_along_axis(
+            packed.reshape(B, H * W, 4 * C),
+            flat.reshape(B, -1)[..., None], axis=1)
+    # group-major densification: one relayout of the (rows-padded) gather
+    p = p.reshape(B, K, N, 4 * C).transpose(0, 2, 1, 3)
+    p = p.reshape(B, N, K * 4 * C)
+
+    bd = img.dtype if img.dtype in (jnp.bfloat16, jnp.float16) \
+        else jnp.float32
+    a = jnp.stack(aws, axis=-1).reshape(B, K, N, 4)  # f32 slot weights
+    a = a.transpose(0, 2, 1, 3).astype(bd)           # (B, N, K, 4)
+    aw = jnp.broadcast_to(a[..., None], (B, N, K, 4, C))
+    t = p * aw.reshape(B, N, K * 4 * C)              # fused broadcast-mul
+
+    # slot-sum as a constant (4C -> C) matmul per group: keeps the
+    # reduction output dense (B, N, K*C) instead of a padded rank-4 shape
+    r = np.zeros((4 * C, C), dtype=np.float32)
+    for s in range(4):
+        r[s * C + np.arange(C), np.arange(C)] = 1.0
+    rk = np.kron(np.eye(K, dtype=np.float32), r)     # (K*4C, K*C)
+    out = jnp.einsum("bnm,mj->bnj", t, jnp.asarray(rk, t.dtype))
+    return out.reshape(B, Hg, Wg, K * C).astype(img.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -116,3 +116,27 @@ def test_dense_transpose_patch_matches_conv_transpose(p, c, e):
     got = y.transpose(0, 1, 3, 2, 4).reshape(B, t * p, t * p, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("img_batch", [1, 3])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_grid_sample_grouped_matches_per_k(img_batch, dtype):
+    from synergize_motion_appearance_tpu.ops import grid_sample_grouped
+
+    rng = np.random.RandomState(7)
+    B, K, H, W, C = 3, 5, 16, 16, 3
+    img = jnp.asarray(rng.randn(img_batch, H, W, C), dtype)
+    grids = jnp.asarray(rng.uniform(-1.3, 1.3, (B, K, H, W, 2)),
+                        jnp.float32)
+    got = grid_sample_grouped(img, grids, align_corners=False,
+                              padding_mode="zeros")
+    assert got.shape == (B, H, W, K * C)
+    for k in range(K):
+        ref = grid_sample(
+            img if img_batch > 1 else img,
+            grids[:, k] if img_batch > 1 else grids[:, k],
+            align_corners=False, padding_mode="zeros")
+        np.testing.assert_allclose(
+            np.asarray(got[..., k * C:(k + 1) * C], np.float32),
+            np.asarray(ref, np.float32),
+            atol=(1e-6 if dtype == jnp.float32 else 2e-2))
