@@ -62,11 +62,19 @@ def _attn_kernel(scale: float, masked: bool, *refs):
         scores = scores + bias_ref[0]  # (1, K) broadcasts over L rows
     m = jnp.max(scores, axis=-1, keepdims=True)  # (L, 1)
     p = jnp.exp(scores - m)
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+    # softmax denominator via the MXU instead of a VPU reduce pass over
+    # the (L, K) tile: a ones-column appended to V makes the AV dot also
+    # emit row sums (profiled: the VPU passes over the score tile are
+    # the kernel's bottleneck; this removes one of them). sum >= 1
+    # always since exp(max - max) = 1, so the divide is safe.
+    d = v.shape[-1]
+    v1 = jnp.concatenate(
+        [v, jnp.ones((v.shape[0], 1), jnp.float32)], axis=-1)
+    num = jax.lax.dot_general(
+        p, v1, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / s
+    )  # (L, d + 1)
+    out = num[:, :d] / num[:, d:]
     if bias_ref is not None:
         # every key masked (bias -inf on all): match the dense path's
         # nan_to_num -> zeros instead of exp(0)/K * mean(v)
