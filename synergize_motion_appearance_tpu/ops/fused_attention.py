@@ -51,13 +51,17 @@ def _attn_kernel(scale: float, masked: bool, *refs):
     else:
         q_ref, k_ref, v_ref, out_ref = refs
         bias_ref = None
-    q = q_ref[0, 0].astype(jnp.float32)  # (L, d)
-    k = k_ref[0, 0].astype(jnp.float32)  # (K, d)
+    # QK dot in the INPUT dtype with f32 accumulation: bf16 inputs are
+    # exactly representable either way, so this is numerically identical
+    # to upcasting first — but the MXU's bf16 mode is ~8x the f32-mode
+    # throughput. Scores/softmax stay f32.
+    q = q_ref[0, 0]  # (L, d)
+    k = k_ref[0, 0]  # (K, d)
     v = v_ref[0, 0].astype(jnp.float32)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (L, K)
+    ).astype(jnp.float32) * scale  # (L, K)
     if bias_ref is not None:
         scores = scores + bias_ref[0]  # (1, K) broadcasts over L rows
     m = jnp.max(scores, axis=-1, keepdims=True)  # (L, 1)
