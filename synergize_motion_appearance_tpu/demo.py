@@ -83,7 +83,7 @@ def main(argv=None):
 
     import cv2
 
-    from .inference import ReenactmentPipeline, find_best_frame_kp
+    from .inference import ReenactmentPipeline, find_best_frame
     from .utils.img_util import arr2img, img2arr, mimsave, read_video_frames
     from .utils.options import load_yaml
 
@@ -123,7 +123,8 @@ def main(argv=None):
 
     if opt.find_best_frame or opt.best_frame is not None:
         anchor = (opt.best_frame if opt.best_frame is not None
-                  else find_best_frame_kp(pipeline, source, driving))
+                  else find_best_frame(source, driving, pipeline=pipeline,
+                                       cpu=opt.cpu))
         print(f"Best frame: {anchor}")
         preds = pipeline.animate_with_anchor(source, driving, anchor)
     else:

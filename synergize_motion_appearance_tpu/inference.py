@@ -317,12 +317,69 @@ class ReenactmentPipeline:
         return np.concatenate([bwd[::-1], fwd[1:]], axis=0)
 
 
+def _to_rgb01(x: np.ndarray) -> np.ndarray:
+    """Model-domain ([-1,1] float) or uint8 frame(s) -> float [0,1]."""
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 255.0
+    return (np.asarray(x, np.float32) + 1.0) / 2.0
+
+
+def find_best_frame_fa(source_np, driving_np, cpu: bool = True) -> int:
+    """Anchor selection with face_alignment landmarks — the reference's
+    PRIMARY criterion (demo.py:74-101): 68 2D landmarks, mean-centered,
+    scaled by sqrt(ConvexHull area), squared-L2 vs the source; per-frame
+    detection failures are skipped like the reference's try/except."""
+    import face_alignment
+    from scipy.spatial import ConvexHull
+
+    def normalize_kp(kp):
+        kp = np.asarray(kp, np.float64).copy()
+        kp = kp - kp.mean(axis=0, keepdims=True)
+        area = np.sqrt(ConvexHull(kp[:, :2]).volume)
+        kp[:, :2] = kp[:, :2] / area
+        return kp
+
+    fa = face_alignment.FaceAlignment(
+        face_alignment.LandmarksType.TWO_D, flip_input=True,
+        device="cpu" if cpu else "cuda")
+    source = _to_rgb01(np.asarray(source_np))
+    if source.ndim == 4:
+        source = source[0]
+    kp_source = normalize_kp(fa.get_landmarks(255 * source)[0])
+    norm, frame_num = float("inf"), 0
+    for i in range(driving_np.shape[0]):
+        try:
+            image = _to_rgb01(driving_np[i])
+            kp_driving = normalize_kp(fa.get_landmarks(255 * image)[0])
+            new_norm = float(((kp_source - kp_driving) ** 2).sum())
+            if new_norm < norm:
+                norm, frame_num = new_norm, i
+        except Exception as e:  # detection failure on one frame (ref :99)
+            print(e)
+    return frame_num
+
+
+def find_best_frame(source_np, driving_np,
+                    pipeline: Optional[ReenactmentPipeline] = None,
+                    cpu: bool = True) -> int:
+    """Reference-faithful anchor selection: face_alignment when the
+    dependency is importable (demo.py:74-101), else the pipeline's own
+    unsupervised keypoints under the same hull-normalized criterion."""
+    try:
+        import face_alignment  # noqa: F401
+    except ImportError:
+        if pipeline is None:
+            raise
+        return find_best_frame_kp(pipeline, source_np, driving_np)
+    return find_best_frame_fa(source_np, driving_np, cpu=cpu)
+
+
 def find_best_frame_kp(pipeline: ReenactmentPipeline, source_np,
                        driving_np) -> int:
-    """Anchor-frame selection. The reference uses an external
-    face_alignment model (demo.py:74-101); when that dependency is absent
-    we fall back to the pipeline's own unsupervised keypoints with the
-    same hull-normalized L2 criterion."""
+    """FALLBACK anchor selection used only when face_alignment is not
+    installed (see find_best_frame): the pipeline's own unsupervised
+    keypoints under the reference's hull-normalized L2 criterion
+    (demo.py:74-101)."""
     kp_s = np.asarray(pipeline.estimate_kp(source_np)["value"][0])
     from scipy.spatial import ConvexHull
 

@@ -250,7 +250,8 @@ class LPIPSLoss:
     as the LPIPS metric (SAMT_LPIPS_WEIGHTS / SAMT_WEIGHTS_DIR); without
     them construction raises a clear error."""
 
-    def __init__(self, loss_weight=1.0, range_norm=False, **_):
+    def __init__(self, loss_weight=1.0, use_input_norm=True,
+                 range_norm=False, **_):
         from ..metrics.external import _find_weights, _load_params, _missing
 
         wpath = _find_weights("SAMT_LPIPS_WEIGHTS",
@@ -266,17 +267,29 @@ class LPIPSLoss:
                 "<lins.pth>")
         self.params = _load_params(wpath, None)
         self.loss_weight = loss_weight
+        self.use_input_norm = use_input_norm
         self.range_norm = range_norm
 
     def __call__(self, x, gt):
         from ..metrics.lpips_jax import lpips_distance
 
-        # reference lpips normalize=True takes [0,1]; range_norm maps
-        # [-1,1] inputs there first (losses.py:399-414). Our backbone
-        # takes [-1,1] directly, so invert when inputs are [0,1].
-        if not self.range_norm:
-            x = x * 2.0 - 1.0
-            gt = gt * 2.0 - 1.0
+        # Exact reference transform chain (losses.py:389-415): optional
+        # range_norm [-1,1]->[0,1], then (with use_input_norm, default
+        # True) ImageNet mean/std normalization, and the result is fed to
+        # lpips.LPIPS(normalize=False) — whose internal ScalingLayer then
+        # runs on the ALREADY ImageNet-normalized tensor. lpips_distance
+        # applies that same ScalingLayer internally, so we reproduce the
+        # reference's (quirky) double normalization bit-for-bit.
+        if self.range_norm:
+            x = (x + 1.0) / 2.0
+            gt = (gt + 1.0) / 2.0
+        if self.use_input_norm:
+            mean = jnp.asarray([0.485, 0.456, 0.406],
+                               x.dtype).reshape(1, 1, 1, 3)
+            std = jnp.asarray([0.229, 0.224, 0.225],
+                              x.dtype).reshape(1, 1, 1, 3)
+            x = (x - mean) / std
+            gt = (gt - mean) / std
         d = lpips_distance(self.params, x, jax.lax.stop_gradient(gt))
         return self.loss_weight * jnp.mean(d)
 

@@ -153,6 +153,48 @@ def _imread_rgb01(path: str, size=None) -> np.ndarray:
     return img[..., ::-1].astype(np.float32) / 255.0
 
 
+def _resize_antialias01(img: np.ndarray, size) -> np.ndarray:
+    """skimage.transform.resize-compatible anti-aliased downscale on a
+    float [0,1] HWC image (reference extract.py:47 uses skimage, whose
+    default anti_aliasing gaussian-prefilters with
+    sigma = (downscale_factor - 1) / 2, mode 'mirror', then samples with
+    half-pixel-center bilinear). cv2.INTER_LINEAR alone (no prefilter)
+    systematically differs on 256->96; this matches skimage to edge-mode
+    rounding."""
+    import cv2
+    from scipy.ndimage import gaussian_filter
+
+    h, w = img.shape[:2]
+    out_w, out_h = size
+    sigma_h = max(0.0, ((h / out_h) - 1.0) / 2.0)
+    sigma_w = max(0.0, ((w / out_w) - 1.0) / 2.0)
+    if sigma_h > 0 or sigma_w > 0:
+        img = gaussian_filter(img, (sigma_h, sigma_w, 0), mode="mirror")
+    return cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+
+
+def _assert_paired_dirs(path_gt: str, path_generated: str, what: str):
+    """Reference cmp_face_aed/akd assert df shapes match and file stems
+    pair up row-for-row (extract.py:67-101); a mismatched or
+    partially-written directory must be an error, not a silently wrong
+    score. Returns the two sorted file lists."""
+    f1, f2 = _list_images(path_gt), _list_images(path_generated)
+    if len(f1) != len(f2):
+        raise RuntimeError(
+            f"{what}: frame-count mismatch between {path_gt} "
+            f"({len(f1)}) and {path_generated} ({len(f2)})")
+    for a, b in zip(f1, f2):
+        # reference stem pairing strips the 1-char role suffix:
+        # `file.split('.pn')[0][:-1]` pairs X_r <-> X_d / X_s
+        sa = osp.splitext(osp.basename(a))[0][:-1]
+        sb = osp.splitext(osp.basename(b))[0][:-1]
+        if sa != sb:
+            raise RuntimeError(
+                f"{what}: unpaired frames '{osp.basename(a)}' vs "
+                f"'{osp.basename(b)}'")
+    return f1, f2
+
+
 def _batched_apply(fn, images: List[np.ndarray], batch_size: int):
     """Run a jitted per-batch fn over a list with last-batch padding (keeps
     one compiled shape)."""
@@ -278,8 +320,10 @@ def _openface_embed_dir(d: str, batch_size: int = 32) -> np.ndarray:
     files = _list_images(d)
     if not files:
         raise RuntimeError(f"AED: no images in {d}")
-    # extract.py:125-129 protocol: RGB -> BGR, resize 96, [0,1]
-    imgs = [_imread_rgb01(f, size=(96, 96))[..., ::-1] for f in files]
+    # extract.py:45-47 protocol: RGB -> BGR, skimage resize 96 (anti-
+    # aliased, float [0,1] out)
+    imgs = [_resize_antialias01(_imread_rgb01(f)[..., ::-1], (96, 96))
+            for f in files]
     return _batched_apply(fn, imgs, batch_size)
 
 
@@ -287,10 +331,10 @@ def _openface_embed_dir(d: str, batch_size: int = 32) -> np.ndarray:
 def calculate_aed(path_gt, path_generated, **kwargs) -> float:
     """Mean squared-L2 distance of OpenFace 128-d id embeddings between
     paired driving/generated frames (extract.py:'cmp_face_aed')."""
+    _assert_paired_dirs(path_gt, path_generated, "AED")
     e1 = _openface_embed_dir(path_gt)
     e2 = _openface_embed_dir(path_generated)
-    n = min(len(e1), len(e2))
-    return float(np.mean(np.sum((e1[:n] - e2[:n]) ** 2, axis=1)))
+    return float(np.mean(np.sum((e1 - e2) ** 2, axis=1)))
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +345,7 @@ def calculate_aed(path_gt, path_generated, **kwargs) -> float:
 def calculate_akd(path_gt, path_generated, **kwargs) -> float:
     """Mean abs diff of 68 face-alignment landmarks
     (extract.py:'cmp_face_akd')."""
+    _assert_paired_dirs(path_gt, path_generated, "AKD")
     fa_mod = _require("face_alignment", "akd")
     fa = fa_mod.FaceAlignment(fa_mod.LandmarksType.TWO_D, flip_input=False)
 
@@ -327,6 +372,9 @@ def calculate_id_similarity(path_gt, path_generated,
                             cross_id: bool = False, **kwargs) -> float:
     """Cosine similarity of insightface antelopev2 embeddings
     (cmp_id_similarity.py:43-64)."""
+    # both modes are frame-paired: cross-id passes the per-frame source
+    # dir (animate.py writes one source frame per driving frame)
+    _assert_paired_dirs(path_gt, path_generated, "ID-similarity")
     insightface = _require("insightface", "id_similarity")
     app = insightface.app.FaceAnalysis(name="antelopev2")
     app.prepare(ctx_id=-1)

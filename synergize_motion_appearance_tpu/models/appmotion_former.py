@@ -667,7 +667,12 @@ class AppMotionCompFormer(nn.Module):
         motion_recon_list = []
         codebook_loss_motion_list = []
 
-        dense_occ = dense_motion["occlusion_map"]  # (B, Hd, Wd, 1), sigmoid'd
+        # single mode: (B, Hd, Wd, 1) sigmoid'd map; multi_mask mode: a
+        # coarse->fine LIST of maps consumed positionally (:606-610,
+        # :702-706) — the MRFA occlusion residuals are computed but never
+        # applied in that mode (:598 gates on `not isinstance(..., list)`)
+        dense_occ = dense_motion["occlusion_map"]
+        occ_is_list = isinstance(dense_occ, (list, tuple))
 
         # driving-kp query feature, computed once (:571)
         driving_kp_feat = None
@@ -738,7 +743,10 @@ class AppMotionCompFormer(nn.Module):
         # ---- base scale (token grid) ----
         r0 = self.scales[0]
         d_occ = motion_pass(x, r0)
-        if self.MRFA_motion_enc:
+        if occ_is_list:
+            occ0 = dense_occ[0]  # (:606-610)
+            occlusion_idx = 1
+        elif self.MRFA_motion_enc:
             out_occ.append(jax.nn.sigmoid(dense_occ + d_occ))  # (:598-601)
             occ0 = out_occ[0]
         else:
@@ -780,7 +788,10 @@ class AppMotionCompFormer(nn.Module):
                 enc_feat = enc_feat_dict[f_res]
                 d_occ = motion_pass(enc_feat, f_res)
                 m_com = motion_list[-1]
-                if self.MRFA_motion_enc:
+                if occ_is_list:
+                    occ = dense_occ[occlusion_idx]  # (:702-706)
+                    occlusion_idx += 1
+                elif self.MRFA_motion_enc:
                     out_occ.append(jax.nn.sigmoid(out_occ[-1] + d_occ))
                     occ = out_occ[-1]
                 else:

@@ -7,12 +7,16 @@ Parity target: archs/dense_motion_arch.py:12-161. Steps:
   align_corners=False, zeros padding)                            (:106-116)
   Hourglass -> softmax mask -> sum(mask * sparse_flow)           (:129-140)
   occlusion head: sigmoid 7x7 conv on final decoder feature      (:148-158)
+  multi_mask: occlusion_num sigmoid heads over the decoder stages
+  plus an upsampling tail past full hourglass resolution — the
+  occlusion_map output becomes a coarse->fine list                (:34-54,148-156)
 
 TPU notes: the 16-way per-kp warp is one batched grid_sample (B*(K+1) fused
 into the batch dim); all shapes static.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -29,7 +33,7 @@ from ..ops import (
     make_coordinate_grid,
 )
 from .layers import Conv2d
-from .motion_blocks import Hourglass
+from .motion_blocks import Hourglass, UpBlock2d
 
 
 class DenseMotionNetwork(nn.Module):
@@ -41,6 +45,8 @@ class DenseMotionNetwork(nn.Module):
     estimate_occlusion_map: bool = True
     scale_factor: float = 0.25
     kp_variance: float = 0.01
+    multi_mask: bool = False
+    occlusion_num: int = 5
 
     def _heatmaps(self, spatial, kp_driving, kp_source):
         h, w = spatial
@@ -148,10 +154,38 @@ class DenseMotionNetwork(nn.Module):
         }
 
         if self.estimate_occlusion_map:
-            occ = Conv2d(1, (7, 7), padding=3, name="occlusion")(
-                prediction[-1]
-            )
-            out["occlusion_map"] = jax.nn.sigmoid(occ)  # (B, h, w, 1)
+            if self.multi_mask:
+                # dense_motion_arch.py:34-54 + :148-156: occlusion_num
+                # sigmoid heads — the first (occlusion_num - up_nums) on
+                # the tail decoder stages, the rest on an extra
+                # UpBlock2d chain that carries the final hourglass
+                # feature back up to the un-downscaled resolution. The
+                # output is a coarse->fine list, e.g. at 256² input with
+                # scale 0.25: [16², 32², 64², 128², 256²].
+                up_nums = int(math.log(1.0 / self.scale_factor, 2))
+                n_direct = self.occlusion_num - up_nums
+                hg_last = (self.block_expansion
+                           + (self.num_kp + 1) * (self.num_channels + 1))
+                occ_list = []
+                for i in range(n_direct):
+                    occ = Conv2d(1, (7, 7), padding=3,
+                                 name=f"occlusion_{i}")(
+                        prediction[up_nums - self.occlusion_num + i]
+                    )
+                    occ_list.append(jax.nn.sigmoid(occ))
+                p = prediction[-1]
+                for i in range(up_nums):
+                    p = UpBlock2d(hg_last // (2 ** (i + 1)),
+                                  name=f"up_{i}")(p, train)
+                    occ = Conv2d(1, (7, 7), padding=3,
+                                 name=f"occlusion_{n_direct + i}")(p)
+                    occ_list.append(jax.nn.sigmoid(occ))
+                out["occlusion_map"] = occ_list
+            else:
+                occ = Conv2d(1, (7, 7), padding=3, name="occlusion")(
+                    prediction[-1]
+                )
+                out["occlusion_map"] = jax.nn.sigmoid(occ)  # (B, h, w, 1)
         return out
 
 

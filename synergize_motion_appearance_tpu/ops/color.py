@@ -31,7 +31,10 @@ def rgb_to_yuv420(rgb, model_domain: bool = True):
     """rgb: (F, H, W, 3) float in [-1, 1] (model domain) or uint8.
     Returns packed I420 uint8 of shape (F, H*3/2, W)."""
     F, H, W, _ = rgb.shape
-    assert H % 2 == 0 and W % 2 == 0, "I420 needs even dims"
+    # H % 4: the U/V planes ((F, H/2, W/2)) are reflowed to (F, H/4, W)
+    # rows below, which needs H/2 even
+    assert H % 4 == 0 and W % 2 == 0, \
+        "I420 packing needs H % 4 == 0 and even W"
     if rgb.dtype == jnp.uint8:
         x = rgb.astype(jnp.float32)
     elif model_domain:

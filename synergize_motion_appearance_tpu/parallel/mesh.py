@@ -21,13 +21,73 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _slurm_first_hostname(node_list: str) -> str:
+    """First hostname of a slurm nodelist. Prefers `scontrol show
+    hostname` (what the reference shells out to, dist_util.py:44); falls
+    back to a pure-Python expansion of the `prefix[a-b,c]` syntax so the
+    rendezvous also works off-cluster (tests, login nodes)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("scontrol"):
+        out = subprocess.run(
+            ["scontrol", "show", "hostname", node_list],
+            capture_output=True, text=True, check=False,
+        ).stdout.strip().splitlines()
+        if out:
+            return out[0]
+    # pure-Python fallback: "node[003-005,9],other" -> "node003"
+    head = node_list.split(",")[0]
+    if "[" in head:
+        prefix, rest = head.split("[", 1)
+        first = rest.split("]", 1)[0].split(",")[0].split("-")[0]
+        return prefix + first
+    return head
+
+
+def slurm_rendezvous(environ=None, port: Optional[int] = None):
+    """Derive (coordinator_address, num_processes, process_id) from the
+    slurm environment — the TPU-native mirror of `_init_dist_slurm`
+    (utils/dist_util.py:28-57): SLURM_PROCID -> process_id,
+    SLURM_NTASKS -> world size, first host of SLURM_NODELIST (via
+    scontrol) -> coordinator; port precedence arg > MASTER_PORT > 29500
+    exactly like the reference."""
+    env = os.environ if environ is None else environ
+    proc_id = int(env["SLURM_PROCID"])
+    ntasks = int(env["SLURM_NTASKS"])
+    addr = _slurm_first_hostname(env["SLURM_NODELIST"])
+    if port is None:
+        port = int(env.get("MASTER_PORT", 29500))
+    return f"{addr}:{port}", ntasks, proc_id
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None):
+                     process_id: Optional[int] = None,
+                     launcher: Optional[str] = None,
+                     port: Optional[int] = None):
     """Multi-host init (jax.distributed) — the `init_dist` equivalent
-    (utils/dist_util.py:10-57). No-op for single-process runs; reads the
-    standard env rendezvous vars when args are omitted."""
-    if num_processes is None and "JAX_NUM_PROCESSES" not in os.environ:
+    (utils/dist_util.py:10-57). No-op for single-process runs.
+
+    launcher=None auto-detects: explicit args / JAX_NUM_PROCESSES env ->
+    generic rendezvous; SLURM_PROCID present -> slurm rendezvous (the
+    reference's `--launcher slurm` path). launcher='slurm' forces slurm;
+    launcher='none' forces single-process."""
+    if launcher == "none":
+        return
+    in_slurm = "SLURM_PROCID" in os.environ and "SLURM_NTASKS" in os.environ
+    if launcher == "slurm" or (launcher is None and num_processes is None
+                               and "JAX_NUM_PROCESSES" not in os.environ
+                               and in_slurm):
+        if not in_slurm:
+            raise RuntimeError(
+                "launcher='slurm' but SLURM_PROCID/SLURM_NTASKS are not "
+                "set — not inside a slurm step")
+        coordinator, num_processes, process_id = slurm_rendezvous(
+            port=port)
+        if num_processes == 1:
+            return  # single-task slurm job: nothing to rendezvous
+    elif num_processes is None and "JAX_NUM_PROCESSES" not in os.environ:
         return  # single process
     jax.distributed.initialize(
         coordinator_address=coordinator,

@@ -18,8 +18,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True,
                         help="Path to option YAML file.")
-    parser.add_argument("--launcher", choices=["none", "jax"],
-                        default="none", help="multi-host launcher")
+    parser.add_argument("--launcher", choices=["none", "jax", "slurm"],
+                        default="none",
+                        help="multi-host launcher (reference train.py:32 "
+                             "offers pytorch/slurm; 'jax' = generic env "
+                             "rendezvous, 'slurm' = SLURM_PROCID/scontrol "
+                             "derivation like dist_util.py:28-57)")
     parser.add_argument("--steps", type=int, default=None,
                         help="override total_iter (smoke runs)")
     args = parser.parse_args(argv)
@@ -41,6 +45,8 @@ def main(argv=None):
 
     if args.launcher == "jax":
         init_distributed()
+    elif args.launcher == "slurm":
+        init_distributed(launcher="slurm")
 
     opt = parse(args.opt, is_train=True)
     if args.steps is not None:

@@ -17,7 +17,7 @@ _STUB_ROOTS = {
     "torchvision", "skimage", "imageio", "lmdb", "decord", "av", "cv2",
     "pandas", "face_alignment", "wandb", "lpips", "insightface",
     "mediapipe", "onnxruntime", "moviepy", "flow_vis", "matplotlib",
-    "thop", "tqdm",
+    "thop", "tqdm", "ffmpeg",
 }
 
 

@@ -232,9 +232,13 @@ def test_fid_inception_parity():
 # LPIPS oracle (plain-torch mirror of lpips.LPIPS(net='vgg'))
 # ---------------------------------------------------------------------------
 
-def test_lpips_vgg_parity():
+def _lpips_mirror():
+    """Random-weight plain-torch mirror of lpips.LPIPS(net='vgg') plus the
+    matching converted flax params. Returns (torch_lpips_fn, params,
+    lin_sd) where torch_lpips_fn takes NHWC numpy arrays in the lpips
+    input domain ([-1,1]-style, pre-ScalingLayer)."""
     from synergize_motion_appearance_tpu.metrics.lpips_jax import (
-        LPIPSVgg, convert_lpips_weights)
+        convert_lpips_weights)
 
     cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
            512, 512, 512, "M", 512, 512, 512]
@@ -258,16 +262,14 @@ def test_lpips_vgg_parity():
         lin_sd)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
-    y = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
-
     # torch oracle forward (lpips protocol)
     shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
     scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
     taps = [3, 8, 15, 22, 29]  # relu indices in `features`
 
     def feats(v):
-        h = (torch.from_numpy(v).permute(0, 3, 1, 2) - shift) / scale
+        h = (torch.from_numpy(np.asarray(v)).permute(0, 3, 1, 2)
+             - shift) / scale
         out = []
         for i, m in enumerate(features):
             h = m(h)
@@ -278,16 +280,68 @@ def test_lpips_vgg_parity():
     def unit(t):
         return t / (torch.sqrt((t ** 2).sum(1, keepdim=True)) + 1e-10)
 
-    with torch.no_grad():
-        dist_t = 0.0
-        for k, (a, b) in enumerate(zip(feats(x), feats(y))):
-            d = (unit(a) - unit(b)) ** 2
-            w = lin_sd[f"lin{k}.model.1.weight"]
-            dist_t = dist_t + TF.conv2d(d, w).mean(dim=(2, 3)).squeeze(1)
+    def torch_lpips(x, y):
+        with torch.no_grad():
+            dist = 0.0
+            for k, (a, b) in enumerate(zip(feats(x), feats(y))):
+                d = (unit(a) - unit(b)) ** 2
+                w = lin_sd[f"lin{k}.model.1.weight"]
+                dist = dist + TF.conv2d(d, w).mean(dim=(2, 3)).squeeze(1)
+        return dist.numpy()
+
+    return torch_lpips, params, lin_sd
+
+
+def test_lpips_vgg_parity():
+    from synergize_motion_appearance_tpu.metrics.lpips_jax import LPIPSVgg
+
+    torch_lpips, params, _ = _lpips_mirror()
+    rng = np.random.RandomState(7)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    y = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+
+    dist_t = torch_lpips(x, y)
     dist_j = LPIPSVgg().apply({"params": params}, jnp.asarray(x),
                               jnp.asarray(y))
-    np.testing.assert_allclose(np.asarray(dist_j), dist_t.numpy(),
+    np.testing.assert_allclose(np.asarray(dist_j), dist_t,
                                rtol=1e-3, atol=1e-5)
+
+
+def test_lpips_loss_reference_chain(tmp_path, monkeypatch):
+    """LPIPSLoss parity vs the reference loss module (losses.py:389-415):
+    optional range_norm, then use_input_norm's ImageNet normalization,
+    then lpips(normalize=False) — the quirky double normalization must
+    survive end-to-end through the registry-built loss."""
+    from synergize_motion_appearance_tpu.losses import build_loss
+    from synergize_motion_appearance_tpu.metrics.external import (
+        flatten_params)
+
+    torch_lpips, params, _ = _lpips_mirror()
+    np_params = jax.tree_util.tree_map(np.asarray, params)
+    wfile = tmp_path / "lpips_vgg.npz"
+    np.savez(wfile, **flatten_params(np_params))
+    monkeypatch.setenv("SAMT_LPIPS_WEIGHTS", str(wfile))
+
+    rng = np.random.RandomState(3)
+    pred = rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    target = rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    mean = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 1, 1, 3)
+    std = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 1, 1, 3)
+
+    for use_input_norm in (True, False):
+        for range_norm in (True, False):
+            loss = build_loss(dict(type="LPIPSLoss", loss_weight=1.5,
+                                   use_input_norm=use_input_norm,
+                                   range_norm=range_norm))
+            got = float(loss(jnp.asarray(pred), jnp.asarray(target)))
+
+            p, t = pred, target
+            if range_norm:
+                p, t = (p + 1) / 2, (t + 1) / 2
+            if use_input_norm:
+                p, t = (p - mean) / std, (t - mean) / std
+            want = 1.5 * float(np.mean(torch_lpips(p, t)))
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------

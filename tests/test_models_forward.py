@@ -134,6 +134,46 @@ def test_former_inference_forward(former_setup):
     assert np.isfinite(np.asarray(out["out"])).all()
 
 
+def test_former_multimask_list_consumption():
+    """multi_mask mode: the generator consumes the occlusion LIST
+    positionally (appmotioncodebook_arch.py:606-610, :702-706) and skips
+    the MRFA occlusion accumulation (out_occ stays empty, :598)."""
+    me = MotionEstimator(
+        common_params=dict(num_kp=5, num_channels=3),
+        dense_motion_params=dict(
+            block_expansion=8, max_features=32, num_blocks=2,
+            scale_factor=0.25, estimate_occlusion_map=True,
+            multi_mask=True, occlusion_num=4,
+        ),
+        kp_detector_params=dict(
+            temperature=0.1, block_expansion=8, max_features=32,
+            scale_factor=0.25, num_blocks=2, estimate_jacobian=True,
+        ),
+    )
+    net = tiny_former()
+    d = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, TINY_IMG, TINY_IMG, 3)) * 0.2
+    s = jax.random.normal(jax.random.PRNGKey(2),
+                          (1, TINY_IMG, TINY_IMG, 3)) * 0.2
+    me_vars = me.init(jax.random.PRNGKey(0), d, s)
+    dense_motion = me.apply(me_vars, d, s)
+    assert isinstance(dense_motion["occlusion_map"], list)
+    assert len(dense_motion["occlusion_map"]) == 4
+    # heads sit on the LAST (occlusion_num - up_nums) decoder stages,
+    # then the up tail doubles past the hourglass resolution (16² here)
+    hd = TINY_IMG // 4
+    assert [o.shape[1] for o in dense_motion["occlusion_map"]] == \
+        [hd // 2, hd, 2 * hd, 4 * hd]
+
+    net_vars = net.init(jax.random.PRNGKey(3), s, dense_motion, gt=d)
+    out = net.apply(net_vars, s, dense_motion, gt=d)
+    assert out["out"].shape == (1, TINY_IMG, TINY_IMG, 3)
+    assert np.isfinite(np.asarray(out["out"])).all()
+    assert out["out_occ"] == []  # list mode: no MRFA occlusion residuals
+    out_inf = net.apply(net_vars, s, dense_motion, inference=True)
+    assert np.isfinite(np.asarray(out_inf["out"])).all()
+
+
 def test_discriminator_shapes():
     net = VQGANDiscriminator(nc=3, ndf=8, n_layers=2)
     x = jnp.zeros((2, TINY_IMG, TINY_IMG, 3))

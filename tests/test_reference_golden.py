@@ -124,6 +124,63 @@ def test_dense_motion_golden(torch_me, flax_me):
         _np(ref["kp_driving"]["value"]), atol=2e-5, rtol=1e-4)
 
 
+def test_dense_motion_multimask_golden():
+    """multi_mask multi-scale occlusion heads match the reference
+    (dense_motion_arch.py:34-54, :148-156): occlusion_num=5 sigmoid maps,
+    the last up_nums from the extra UpBlock2d tail. num_blocks=3 so the
+    three direct heads cover decoder stages -3..-1."""
+    import torch
+
+    from basicsr.archs.motion_estimator_arch import (
+        Motion_Estimator_keypoint_aware,
+    )
+    from convert_reference_checkpoint import convert_motion_estimator
+
+    from synergize_motion_appearance_tpu.models import MotionEstimator
+
+    dm_mm = dict(block_expansion=8, max_features=32, num_blocks=3,
+                 scale_factor=0.25, estimate_occlusion_map=True,
+                 multi_mask=True, occlusion_num=5)
+    torch.manual_seed(3)
+    t_net = Motion_Estimator_keypoint_aware(
+        common_params=COMMON, dense_motion_params=dm_mm,
+        kp_detector_params=KP_PARAMS,
+    )
+    t_net.eval()
+
+    sd = {k: _np(v) for k, v in t_net.state_dict().items()}
+    variables, unused = convert_motion_estimator(
+        sd, num_blocks_kp=KP_PARAMS["num_blocks"], num_blocks_dm=3,
+        multi_mask=True, occlusion_num=5, scale_factor=0.25)
+    assert unused == [], f"unconverted reference keys: {unused[:10]}"
+
+    net = MotionEstimator(common_params=COMMON,
+                          dense_motion_params=dm_mm,
+                          kp_detector_params=KP_PARAMS)
+
+    rng = np.random.RandomState(4)
+    src = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    drv = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        ref = t_net(torch.from_numpy(drv.transpose(0, 3, 1, 2)),
+                    torch.from_numpy(src.transpose(0, 3, 1, 2)))
+
+    out = net.apply(variables, drv, src, train=False)
+    assert isinstance(out["occlusion_map"], list)
+    assert len(out["occlusion_map"]) == 5
+    # coarse->fine: 4², 8², 16² (decoder stages), 32², 64² (up tail)
+    assert [o.shape[1] for o in out["occlusion_map"]] == [4, 8, 16, 32, 64]
+    np.testing.assert_allclose(
+        np.asarray(out["deformation"]), _np(ref["deformation"]),
+        atol=5e-5, rtol=1e-3)
+    for i, (got, want) in enumerate(zip(out["occlusion_map"],
+                                        ref["occlusion_map"])):
+        np.testing.assert_allclose(
+            np.asarray(got), _np(want).transpose(0, 2, 3, 1),
+            atol=1e-4, rtol=1e-3, err_msg=f"occlusion_map[{i}]")
+
+
 def test_transformer_layer_golden():
     """TransformerLayer (self-attn + codebook cross-attn + conv FFN)
     matches torch (appmotioncodebook_arch.py:65-126)."""

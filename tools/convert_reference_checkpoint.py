@@ -226,7 +226,9 @@ def map_hourglass(c: Converter, t: str, f: str, num_blocks: int):
 
 def map_motion_estimator(c: Converter, num_blocks_kp=5, num_blocks_dm=5,
                          estimate_jacobian=True,
-                         estimate_occlusion=True):
+                         estimate_occlusion=True,
+                         multi_mask=False, occlusion_num=5,
+                         scale_factor=0.25):
     """Motion_Estimator_keypoint_aware (motion_estimator_arch.py:14-52)."""
     map_hourglass(c, "kp_detector.predictor", "kp_detector/predictor",
                   num_blocks_kp)
@@ -242,8 +244,22 @@ def map_motion_estimator(c: Converter, num_blocks_kp=5, num_blocks_dm=5,
                   "dense_motion_network/hourglass", num_blocks_dm)
     c.conv2d("dense_motion_network.mask", "dense_motion_network/mask")
     if estimate_occlusion:
-        c.conv2d("dense_motion_network.occlusion",
-                 "dense_motion_network/occlusion")
+        if multi_mask:
+            # ModuleList heads + upsampling tail (dense_motion_arch.py:34-54)
+            import math
+
+            up_nums = int(math.log(1.0 / scale_factor, 2))
+            for i in range(occlusion_num):
+                c.conv2d(f"dense_motion_network.occlusion.{i}",
+                         f"dense_motion_network/occlusion_{i}")
+            for i in range(up_nums):
+                c.conv2d(f"dense_motion_network.up.{i}.conv",
+                         f"dense_motion_network/up_{i}/conv")
+                c.bn(f"dense_motion_network.up.{i}.norm",
+                     f"dense_motion_network/up_{i}/norm")
+        else:
+            c.conv2d("dense_motion_network.occlusion",
+                     "dense_motion_network/occlusion")
 
 
 def map_block_list(c: Converter, defs, t_prefix: str, f_prefix: str):
@@ -467,6 +483,9 @@ def main():
                 "estimate_jacobian", True),
             estimate_occlusion=me["dense_motion_params"].get(
                 "estimate_occlusion_map", True),
+            multi_mask=me["dense_motion_params"].get("multi_mask", False),
+            occlusion_num=me["dense_motion_params"].get("occlusion_num", 5),
+            scale_factor=me["dense_motion_params"].get("scale_factor", 0.25),
         )
     else:
         d = cfg["network_d"]

@@ -60,6 +60,11 @@ def main():
                      scale_factor=0.25, num_blocks=5, estimate_jacobian=True)
     dm_params = dict(block_expansion=64, max_features=1024, num_blocks=5,
                      scale_factor=0.25, estimate_occlusion_map=True)
+    multi_mask = "--multi_mask" in sys.argv
+    if multi_mask:
+        # the multi-scale occlusion surface (dense_motion_arch.py:34-54):
+        # the generator consumes the 5-entry coarse->fine occlusion list
+        dm_params.update(multi_mask=True, occlusion_num=5)
 
     torch.manual_seed(0)
     t_me = Motion_Estimator_keypoint_aware(
@@ -83,7 +88,8 @@ def main():
     # ---- ours, with converted weights ----
     me_vars, unused = convert_motion_estimator(
         {k: v.numpy() for k, v in t_me.state_dict().items()},
-        num_blocks_kp=5, num_blocks_dm=5)
+        num_blocks_kp=5, num_blocks_dm=5,
+        multi_mask=multi_mask, occlusion_num=5, scale_factor=0.25)
     assert unused == [], unused[:8]
 
     g_cfg = dict(type="AppMotionCompFormer")
@@ -100,6 +106,13 @@ def main():
 
     dm = me.apply(me_vars, drv, src, train=False)
     for k in ("deformation", "occlusion_map"):
+        if k == "occlusion_map" and multi_mask:
+            for i, (tt, ff) in enumerate(zip(t_dm[k], dm[k])):
+                err = np.abs(np.asarray(ff)
+                             - tt.numpy().transpose(0, 2, 3, 1)).max()
+                print(f"motion[occlusion_map[{i}]]: max abs err {err:.2e}")
+                assert err < 1e-4, f"occlusion_map[{i}]"
+            continue
         ref = t_dm[k].numpy()
         got = np.asarray(dm[k])
         if ref.ndim == 4 and ref.shape[1] in (1, 2, 3) and k != "deformation":
