@@ -80,22 +80,34 @@ def main():
     # variance; report the best of N runs (standard practice for noisy
     # environments — the best run is closest to the machine's capability)
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         preds = pipeline.animate(source, driving)
         t1 = time.perf_counter()
-        best = min(best, t1 - t0)
+        times.append(t1 - t0)
     assert preds.shape[0] == n_frames
     assert preds.dtype == np.uint8
 
-    fps = n_frames / best
-    print(json.dumps({
+    # headline = best of N (closest to machine capability on a noisy
+    # shared relay); median reported alongside so link-variance is visible
+    fps = n_frames / min(times)
+    median_fps = n_frames / float(np.median(times))
+    out = {
         "metric": "reenactment_fps_256",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
-    }))
+        "median_fps": round(median_fps, 2),
+        "repeats": repeats,
+    }
+    try:
+        from tools.flops_report import flagship_inference_mfu
+
+        out.update(flagship_inference_mfu(fps))
+    except Exception:
+        pass  # FLOPs model optional; the headline metric never blocks
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

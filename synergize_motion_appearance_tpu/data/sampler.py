@@ -2,6 +2,16 @@
 
 Virtually enlarges the dataset by `ratio`, epoch-seeded shuffle, per-host
 strided slice — the host-sharded input pipeline for the data mesh axis.
+
+DELIBERATE DEPARTURE (documented, see README "departures"): the reference
+shuffles with `torch.randperm(generator.manual_seed(epoch))`
+(data_sampler.py:29-42); this port uses
+`np.random.RandomState(epoch).permutation`. The semantics are identical
+(epoch-deterministic, rank-strided, ratio-enlarged) but the concrete
+permutation SEQUENCES differ, so a torch reference run and a run here
+visit samples in different orders — exact run-for-run replication of a
+reference training log is not possible, by design (keeping torch out of
+the training-loop dependency set).
 """
 from __future__ import annotations
 

@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# MEASURED DEAD END (2026-08-17, do not revive): casting the f32 softmax
+# tile to bf16 for the AV dot made the kernel SLOWER (1572 vs 1471 us at
+# (16,8,1024,1024,32)) — the AV dot is ~69 MFLOP (sub-microsecond on the
+# MXU); the kernel is bound by VPU passes over the (L, K) tile, and the
+# cast ADDS a pass. Fewer passes beat narrower ones.
+
 
 def _dense_reference(q, k, v, bias):
     """jnp reference: q (B,H,L,d); k,v (B,H,K,d); bias (B,K) additive."""

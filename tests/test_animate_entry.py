@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 cv2 = pytest.importorskip("cv2")
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))

@@ -26,6 +26,8 @@ from convert_vgg_weights import flatten  # noqa: E402
 
 from synergize_motion_appearance_tpu.models import build_network  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 NET_G_CFG = dict(
     type="AppMotionCompFormer", img_size=64, nf=8, ch_mult=[1, 2, 2, 4],
     attn_resolutions=[8], codebook_size_motion=64, embed_dim_motion=8,

@@ -10,6 +10,8 @@ from os import path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 cv2 = pytest.importorskip("cv2")
 imageio = pytest.importorskip("imageio")
 

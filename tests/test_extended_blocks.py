@@ -5,6 +5,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 from synergize_motion_appearance_tpu.models.extended_blocks import (
     Hourglass2Branch,
     HourglassWEmb,

@@ -1,0 +1,51 @@
+"""conv3x3 matmul re-expressions must match lax.conv exactly (same
+contraction, different schedule) — parity gate for the decoder hot-path
+swap (docs/PERF.md)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from synergize_motion_appearance_tpu.ops.fast_conv import (
+    conv3x3_im2col, conv3x3_tapsum,
+)
+
+
+def _xla_conv(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(y.dtype)
+
+
+def test_conv3x3_variants_match_xla():
+    rng = np.random.RandomState(0)
+    for (B, H, W, Cin, Cout) in [(2, 8, 8, 5, 7), (1, 16, 12, 8, 4)]:
+        x = jnp.asarray(rng.randn(B, H, W, Cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, Cin, Cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+        want = np.asarray(_xla_conv(x, w, b))
+        for fn in (conv3x3_im2col, conv3x3_tapsum):
+            got = np.asarray(fn(x, w, b))
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5,
+                                       err_msg=fn.__name__)
+
+
+def test_conv3x3_grad_matches_xla():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    b = jnp.asarray(rng.randn(6).astype(np.float32))
+
+    def loss(fn):
+        return lambda xx, ww, bb: jnp.sum(fn(xx, ww, bb) ** 2)
+
+    gx0, gw0, gb0 = jax.grad(loss(_xla_conv), argnums=(0, 1, 2))(x, w, b)
+    for fn in (conv3x3_im2col, conv3x3_tapsum):
+        gx, gw, gb = jax.grad(loss(fn), argnums=(0, 1, 2))(x, w, b)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw0),
+                                   atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gb0),
+                                   atol=2e-4, rtol=1e-4)

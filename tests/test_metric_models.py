@@ -21,6 +21,8 @@ torch = pytest.importorskip("torch")
 import torch.nn as tnn
 import torch.nn.functional as TF
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 
 # ---------------------------------------------------------------------------
 # FID InceptionV3 oracle (plain-torch mirror of pytorch_fid/inception.py)

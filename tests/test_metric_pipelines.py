@@ -10,6 +10,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 
 def _write_images(d, n, size=32, seed=0):
     import cv2

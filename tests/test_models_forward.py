@@ -23,6 +23,8 @@ from synergize_motion_appearance_tpu.models.appmotion_former import (
     generator_tap_indices,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 TINY_IMG = 64
 
 

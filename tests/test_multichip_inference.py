@@ -10,6 +10,8 @@ from synergize_motion_appearance_tpu.models import build_network
 from synergize_motion_appearance_tpu.parallel import create_mesh
 from synergize_motion_appearance_tpu.utils.options import load_yaml
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 
 def test_frame_parallel_animate():
     assert jax.device_count() >= 8

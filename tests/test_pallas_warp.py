@@ -5,7 +5,7 @@ import pytest
 import jax.numpy as jnp
 
 from synergize_motion_appearance_tpu.ops import grid_sample
-from synergize_motion_appearance_tpu.ops.pallas_warp import grid_sample_pallas
+from synergize_motion_appearance_tpu.ops.pallas_warp import grid_sample_fast
 
 
 def _data(B=2, Bg=2, H=16, W=16, C=8, seed=0):
@@ -19,7 +19,7 @@ def _data(B=2, Bg=2, H=16, W=16, C=8, seed=0):
 def test_interpret_parity():
     img, grid = _data()
     ref = grid_sample(img, grid, True, "zeros")
-    out = grid_sample_pallas(img, grid, interpret=True)
+    out = grid_sample_fast(img, grid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -27,7 +27,7 @@ def test_interpret_parity():
 def test_interpret_parity_broadcast():
     img, grid = _data(B=1, Bg=3)
     ref = grid_sample(img, grid, True, "zeros")
-    out = grid_sample_pallas(img, grid, interpret=True)
+    out = grid_sample_fast(img, grid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -36,11 +36,11 @@ def test_fallback_modes():
     img, grid = _data()
     # misaligned output size / other padding modes take the jnp path
     small_grid = grid[:, :8, :8]
-    out = grid_sample_pallas(img, small_grid)
+    out = grid_sample_fast(img, small_grid)
     ref = grid_sample(img, small_grid, True, "zeros")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
-    out2 = grid_sample_pallas(img, grid, padding_mode="reflection")
+    out2 = grid_sample_fast(img, grid, padding_mode="reflection")
     ref2 = grid_sample(img, grid, True, "reflection")
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=1e-5, atol=1e-5)

@@ -15,8 +15,8 @@ sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
 from _reference_oracle import import_reference  # noqa: E402
 
 basicsr = import_reference()
-pytestmark = pytest.mark.skipif(
-    basicsr is None, reason="/root/reference not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    basicsr is None, reason="/root/reference not available")]
 
 
 @pytest.fixture(autouse=True, scope="module")

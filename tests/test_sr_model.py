@@ -1,7 +1,10 @@
 """SRModel: the generic single-network model pattern (sr_model.py:13-209)."""
 import numpy as np
+import pytest
 
 from synergize_motion_appearance_tpu.model_api import build_model
+
+pytestmark = pytest.mark.slow  # heavy tier
 
 
 def _opt():

@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 
 @pytest.fixture()
 def synth_root(tmp_path):

@@ -14,6 +14,8 @@ from synergize_motion_appearance_tpu.parallel import (
     create_mesh, shard_batch, replicate,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 IMG = 64
 
 

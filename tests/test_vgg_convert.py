@@ -5,6 +5,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 torch = pytest.importorskip("torch")
 
 

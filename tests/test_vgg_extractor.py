@@ -9,6 +9,8 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 from synergize_motion_appearance_tpu.models.vgg import (  # noqa: E402
     VGGFeatureExtractor, _VGG_NAMES, _BLOCK_CHANNELS)
 

@@ -15,6 +15,8 @@ from synergize_motion_appearance_tpu.inference import (  # noqa: E402
 from synergize_motion_appearance_tpu.models import build_network  # noqa: E402
 from synergize_motion_appearance_tpu.utils.options import load_yaml  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier
+
 
 def test_yuv420_io_animate_matches_rgb8():
     cfg = load_yaml("options/tiny.yml")
