@@ -71,25 +71,41 @@ def _gaussian_kernel_1d_meta(scale: float):
 def antialias_downsample(x, scale: float):
     """Band-limited downsampling (gaussian blur + stride), NHWC.
 
-    Parity with AntiAliasInterpolation2d: pad (ka, kb) each side, depthwise
-    conv with a fixed normalized gaussian, then stride-subsample.
+    Parity with AntiAliasInterpolation2d (motion_estimator_util.py:599-645):
+    pad (ka, kb) each side, depthwise conv with a fixed normalized
+    gaussian, then stride-subsample.
+
+    TPU mapping: a depthwise conv over C=3 lane-pads 42x and drove XLA
+    into transposed-layout conv emitters (~55 ms/train step measured,
+    docs/PERF.md). The blur is separable and linear, so it is expressed
+    as two MXU matmuls instead: an H-pass contracting H with W*C folded
+    into the (lane-aligned) minor dim, and a W-pass contracting W*C with
+    kron(Bw, I_C) so the channel interleave never leaves the minor dim.
+    Bit-parity validated vs the torch depthwise-conv oracle at 1e-5
+    (tests/test_ops_parity.py::test_antialias_downsample_parity).
     """
     if scale == 1.0:
         return x
     k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
     B, H, W, C = x.shape
-    kern = jnp.asarray(k2, x.dtype)[:, :, None, None]  # (kh, kw, 1, 1)
-    kern = jnp.tile(kern, (1, 1, 1, C))  # depthwise: (kh, kw, 1, C)
-    out = jax.lax.conv_general_dilated(
-        x,
-        kern,
-        window_strides=(1, 1),
-        padding=((ka, kb), (ka, kb)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[:, ::s, ::s, :]
+    Ah, Bw = _antialias_matrices(H, W, C, scale)
+    hp = jnp.asarray(Ah, x.dtype)      # (H/s, H)
+    wp = jnp.asarray(Bw, x.dtype)      # (W/s*C, W*C) = kron(Bw, I_C)
+    y = jnp.einsum("hH,bHn->bhn", hp, x.reshape(B, H, W * C),
+                   precision=jax.lax.Precision.HIGHEST)
+    z = jnp.einsum("mn,bhn->bhm", wp, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    return z.reshape(B, H // s, W // s, C)
+
+
+@functools.lru_cache(maxsize=64)
+def _antialias_matrices(H: int, W: int, C: int, scale: float):
+    """Static (H/s, H) and kron((W/s, W), I_C) blur+stride matrices."""
+    k2, ka, kb, s = _gaussian_kernel_1d_meta(scale)
+    k1 = (k2[ka] / np.sqrt(k2[ka, ka])).astype(np.float32)
+    Ah = _strided_blur_matrix(H, k1, ka, s)
+    Bw = np.kron(_strided_blur_matrix(W, k1, ka, s), np.eye(C, dtype=np.float32))
+    return Ah, Bw
 
 
 def _strided_blur_matrix(n: int, k1: "np.ndarray", ka: int, s: int

@@ -174,6 +174,7 @@ def test_convex_hull_area_matches_scipy():
         np.testing.assert_allclose(area_j, area_ref, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tps_warp_and_jacobian():
     import jax
 

@@ -50,7 +50,11 @@ def test_resize_bilinear_at_matches_row_select():
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-@pytest.mark.parametrize("H,out", [(256, 64), (256, 32), (128, 32)])
+@pytest.mark.parametrize("H,out", [
+    pytest.param(256, 64, marks=pytest.mark.slow),  # flagship shape, compile-heavy
+    pytest.param(256, 32, marks=pytest.mark.slow),
+    (128, 32),
+])
 def test_deform_input_resized_exact(H, out, dtype):
     rng = np.random.RandomState(2)
     feat = jnp.asarray(rng.randn(1, H, H, 8), dtype)
@@ -63,6 +67,7 @@ def test_deform_input_resized_exact(H, out, dtype):
                                   np.asarray(dense, np.float32))
 
 
+@pytest.mark.slow
 def test_deform_input_resized_pointwise_fn():
     rng = np.random.RandomState(3)
     feat = jnp.asarray(rng.randn(1, 128, 128, 4), jnp.float32)
@@ -118,7 +123,8 @@ def test_dense_transpose_patch_matches_conv_transpose(p, c, e):
                                rtol=2e-5, atol=2e-4)
 
 
-@pytest.mark.parametrize("img_batch", [1, 3])
+@pytest.mark.parametrize(
+    "img_batch", [pytest.param(1, marks=pytest.mark.slow), 3])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_grid_sample_grouped_matches_per_k(img_batch, dtype):
     from synergize_motion_appearance_tpu.ops import grid_sample_grouped

@@ -60,20 +60,49 @@ def main():
           f"l_g_total={float(logs['l_g_total']):.3f}")
 
     times = []
+    hist = {"l_g_total": [], "l_g_pix": [], "l_d_real": []}
     for i in range(steps):
         key = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         state, logs = step_fn(state, batch_data, key, vgg_params)
         logs = jax.device_get(logs)  # fetch forces completion on axon
         times.append(time.perf_counter() - t0)
+        for k in hist:
+            if k in logs:
+                hist[k].append(float(logs[k]))
+        if steps > 20 and (i + 1) % max(1, steps // 10) == 0:
+            print(f"  step {i+1}: l_g_total={float(logs['l_g_total']):.3f}"
+                  f" l_g_pix={float(logs['l_g_pix']):.4f}"
+                  f" ({(time.perf_counter()-t0)*1e3:.0f} ms)", flush=True)
     logs = {k: round(float(v), 4) for k, v in sorted(logs.items())}
     best = min(times)
-    print(f"steady step: best {best*1e3:.0f} ms "
-          f"({batch/best:.2f} samples/s/chip), all "
-          f"{[round(t, 2) for t in times]}")
+    med = sorted(times)[len(times) // 2]
+    print(f"steady step: best {best*1e3:.0f} ms, median {med*1e3:.0f} ms "
+          f"({batch/best:.2f} samples/s/chip best)")
+    try:
+        from tools.flops_report import (TRAIN_STEP_FLOPS_PER_SAMPLE,
+                                        _device_peak_flops)
+
+        peak = _device_peak_flops()
+        if peak:
+            print(f"train MFU (median step): "
+                  f"{batch * TRAIN_STEP_FLOPS_PER_SAMPLE / med / peak:.3f}")
+    except Exception:
+        pass
     print(f"logs: {logs}")
     nonfinite = [k for k, v in logs.items() if not np.isfinite(v)]
     assert not nonfinite, f"non-finite logs: {nonfinite}"
+    if steps >= 100:
+        # same fixed batch every step -> this is a flagship-shape overfit
+        # run; the loss must actually DECREASE (convergence evidence at
+        # full scale, not just the tiny-config test)
+        t0m = np.mean(hist["l_g_total"][:10])
+        t1m = np.mean(hist["l_g_total"][-10:])
+        p0m = np.mean(hist["l_g_pix"][:10])
+        p1m = np.mean(hist["l_g_pix"][-10:])
+        print(f"convergence: l_g_total {t0m:.3f} -> {t1m:.3f}, "
+              f"l_g_pix {p0m:.4f} -> {p1m:.4f}")
+        assert t1m < t0m and p1m < p0m, "flagship overfit did not converge"
     print("TRAIN SMOKE OK")
 
 
