@@ -171,12 +171,22 @@ class MultiScalePyramidPerceptualLoss:
         self.loss_weights = tuple(loss_weights)
 
     def __call__(self, vgg_params, pred, target):
+        return self.from_target_feats(
+            vgg_params, pred, self.target_features(vgg_params, target))
+
+    def target_features(self, vgg_params, target):
+        """Per-scale VGG features of the (gradient-free) target. Computed
+        once per train step and shared by the main/lr/probe loss calls —
+        inside each jax.checkpoint they would otherwise be recomputed
+        per call AND per remat pass."""
+        return [self.vgg_apply(vgg_params, antialias_downsample(target, s))
+                for s in self.scales]
+
+    def from_target_feats(self, vgg_params, pred, target_feats):
         total = 0.0
-        for scale in self.scales:
+        for scale, y_feats in zip(self.scales, target_feats):
             p = antialias_downsample(pred, scale)
-            t = antialias_downsample(target, scale)
             x_feats = self.vgg_apply(vgg_params, p)
-            y_feats = self.vgg_apply(vgg_params, t)
             for i, w in enumerate(self.loss_weights):
                 total = total + w * jnp.mean(
                     jnp.abs(x_feats[i] - jax.lax.stop_gradient(y_feats[i]))

@@ -14,6 +14,7 @@ bespoke machinery.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -48,6 +49,122 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+def _shift_cols(x, kh, kw, strides, padding):
+    """im2col as kh*kw shifted strided slices concat on the channel dim."""
+    sh, sw = strides
+    (pt, pb), (pl, pr) = padding
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    Ho = (Hp - kh) // sh + 1
+    Wo = (Wp - kw) // sw + 1
+    cols = [
+        xp[:, i:i + sh * (Ho - 1) + 1:sh, j:j + sw * (Wo - 1) + 1:sw, :]
+        for i in range(kh) for j in range(kw)
+    ]
+    return jnp.concatenate(cols, axis=-1)  # (B, Ho, Wo, kh*kw*C)
+
+
+def _shift_conv_impl(x, kernel, strides, padding):
+    kh, kw, cin, cout = kernel.shape
+    patches = _shift_cols(x, kh, kw, strides, padding)
+    return jnp.matmul(patches, kernel.reshape(kh * kw * cin, cout),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _shift_conv(x, kernel, strides, padding):
+    """Conv as shifted slices + one MXU matmul, with a custom VJP so the
+    input-gradient is ALSO a shift+matmul (full correlation with the
+    spatially-flipped, channel-transposed kernel).
+
+    Plain autodiff of the concat-of-slices forward emits kh*kw per-tap
+    pad-and-accumulate fusions on the small-channel tensor — measured
+    ~1.4 ms EACH on v5e at 256² (the (66564,3,2)-shaped custom fusions
+    in docs/PERF.md §8). The custom backward replaces them with one
+    concat + one matmul. Only used for stride 1; strided callers take
+    the autodiff path.
+    """
+    return _shift_conv_impl(x, kernel, strides, padding)
+
+
+def _shift_conv_fwd(x, kernel, strides, padding):
+    return _shift_conv_impl(x, kernel, strides, padding), (x, kernel)
+
+
+def _shift_conv_bwd(strides, padding, res, dy):
+    x, kernel = res
+    kh, kw, cin, cout = kernel.shape
+    patches = _shift_cols(x, kh, kw, strides, padding)
+    dK = jnp.einsum("bhwk,bhwf->kf", patches, dy,
+                    precision=jax.lax.Precision.HIGHEST)
+    dK = dK.reshape(kh, kw, cin, cout)
+    # dX[i] = sum_k dy[i - k + p] K[k]^T  ==  corr(dy, flip(K)^T) with
+    # pad (k-1-p) — itself a shift+matmul (stride 1 only)
+    (pt, pb), (pl, pr) = padding
+    dyp = _shift_cols(dy, kh, kw, (1, 1),
+                      ((kh - 1 - pt, kh - 1 - pb), (kw - 1 - pl, kw - 1 - pr)))
+    kmat = kernel[::-1, ::-1].transpose(0, 1, 3, 2).reshape(
+        kh * kw * cout, cin)
+    dX = jnp.matmul(dyp, kmat, precision=jax.lax.Precision.HIGHEST)
+    return dX, dK
+
+
+_shift_conv.defvjp(_shift_conv_fwd, _shift_conv_bwd)
+
+
+class _ShiftMatmulConv(nn.Module):
+    """Conv computed as kh*kw shifted slices + ONE MXU matmul.
+
+    v5e trace evidence (docs/PERF.md §8): any conv_general_dilated whose
+    input OR output channel count is tiny (the RGB stems/heads: VGG
+    conv0, kp-detector stem after the antialias downsample, PatchGAN
+    conv0, the generator's final RGB convs) lowers to XLA conv emitters
+    running at 0.05-1.5 TF/s — and their autodiff *gradients* (e.g. the
+    VGG conv0 input-grad feeding the image cotangent) are the single
+    worst ops in the train step (11 ms each at 0.06 TF/s). Expressing
+    the conv as an im2col concat (minor-dim kh*kw*C stays lane-resident)
+    contracted by one dot makes the forward AND both backwards (via
+    `_shift_conv`'s custom VJP) matmul-shaped. Param names/shapes are
+    identical to nn.Conv ("kernel" (kh,kw,in,out) + "bias"), so
+    checkpoints are interchangeable.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    use_bias: bool
+    dtype: Any
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, in_ch, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        pad = tuple(tuple(p) for p in self.padding)
+        if self.strides == (1, 1) and all(
+                k - 1 - p >= 0 for k, pp in
+                zip(self.kernel_size, pad) for p in pp):
+            y = _shift_conv(x, kernel, (1, 1), pad)
+        else:
+            y = _shift_conv_impl(x, kernel, tuple(self.strides), pad)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+# Channel-count threshold below which the conv emitters are pathological
+# (bf16 lane tile 128: minor dims this small tile-pad >=16x).
+_SMALL_CH = 8
+
+
 class Conv2d(nn.Module):
     """nn.Conv with torch-default init and torch padding semantics."""
 
@@ -69,6 +186,20 @@ class Conv2d(nn.Module):
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
         fan_in = kh * kw * in_ch // self.groups
+        if (self.groups == 1 and (kh, kw) != (1, 1)
+                and isinstance(pad, tuple)
+                and (in_ch <= _SMALL_CH or self.features <= _SMALL_CH)):
+            return _ShiftMatmulConv(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                strides=self.strides,
+                padding=pad,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init or torch_conv_kernel_init,
+                bias_init=self.bias_init or torch_bias_init(fan_in),
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,

@@ -303,21 +303,42 @@ class Trainer:
         don't affect the ratio, exactly like torch's autograd.grad on the
         single leaf."""
         _, kernel, bias = _final_conv_leaf_path(params_g)
-        h = sg(pre_final)
-        gt_c = sg(gt)
+        # the probe only feeds a scale-free norm RATIO, so it runs in the
+        # step's compute dtype (f32 probe VGG was ~a full extra f32
+        # pyramid per step; the ratio is robust in bf16 — validated by
+        # the bf16-tracks-f32 convergence test)
+        cdt = self.compute_dtype
+        cast = (lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(cdt) if hasattr(a, "astype") and
+            jnp.issubdtype(a.dtype, jnp.floating) else a, t)) \
+            if cdt is not None else (lambda t: t)
+        h = cast(sg(pre_final))
+        gt_c = cast(sg(gt))
+        kernel = cast(kernel)
+        bias_c = cast(bias)
         params_d, stats_d = fake_stats_ctx
+        vgg_p = cast(self._vgg_params)
+
+        kh, kw, cin, cout = kernel.shape
 
         def out_from(kern):
-            return jax.lax.conv_general_dilated(
-                h, kern, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + bias
+            # shift+matmul form: the raw C_out=3 conv (and its C=3
+            # filter-grad) hit the pathological small-channel emitters
+            # (docs/PERF.md §8) — same rewrite as layers._ShiftMatmulConv
+            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            H, W = h.shape[1], h.shape[2]
+            patches = jnp.concatenate(
+                [hp[:, i:i + H, j:j + W, :]
+                 for i in range(kh) for j in range(kw)], axis=-1)
+            return jnp.matmul(
+                patches, kern.reshape(kh * kw * cin, cout),
+                precision=jax.lax.Precision.HIGHEST) + bias_c
 
         def recon_probe(kern):
             o = out_from(kern)
             r = 0.0
             if self.cri_perceptual is not None:
-                r = r + self.cri_perceptual(self._vgg_params, o, gt_c)
+                r = r + self.cri_perceptual(vgg_p, o, gt_c)
             if self.cri_pix is not None:
                 r = r + self.cri_pix(o, gt_c)
             return r
@@ -325,7 +346,8 @@ class Trainer:
         def gan_probe(kern):
             o = out_from(kern)
             pred = self.net_d.apply(
-                {"params": sg(params_d), "batch_stats": sg(stats_d)},
+                {"params": cast(sg(params_d)),
+                 "batch_stats": cast(sg(stats_d))},
                 o, train=True, mutable=["batch_stats"],
             )[0]
             return self.cri_gan(pred, True, is_disc=False)
@@ -377,14 +399,28 @@ class Trainer:
             g_forward = jax.checkpoint(_g_forward) if self.remat \
                 else _g_forward
             percep = self.cri_perceptual
+            gt_feats = None
             if percep is not None:
+                # target VGG pyramid features once per step, shared by the
+                # main/lr/probe perceptual terms (each jax.checkpoint call
+                # would otherwise recompute them in fwd AND remat passes)
+                vgg_c = _cast(vgg_params, cdt) if cdt is not None \
+                    else vgg_params
+                gt_feats = jax.lax.stop_gradient(
+                    self.cri_perceptual.target_features(
+                        vgg_c, _cast(gt, cdt) if cdt is not None else gt))
+
                 if cdt is not None:
                     def _percep(vp, a, b):
-                        return self.cri_perceptual(
-                            _cast(vp, cdt), _cast(a, cdt), _cast(b, cdt)
+                        del b  # target enters via the precomputed feats
+                        return self.cri_perceptual.from_target_feats(
+                            _cast(vp, cdt), _cast(a, cdt), gt_feats
                         ).astype(jnp.float32)
                 else:
-                    _percep = lambda vp, a, b: self.cri_perceptual(vp, a, b)
+                    def _percep(vp, a, b):
+                        del b
+                        return self.cri_perceptual.from_target_feats(
+                            vp, a, gt_feats)
                 percep = jax.checkpoint(_percep) if self.remat else _percep
 
             def g_loss_fn(params_g, params_m):

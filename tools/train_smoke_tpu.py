@@ -37,6 +37,12 @@ def main():
     if os.environ.get("SAMT_TRAIN_BF16"):
         opt["train"]["compute_dtype"] = "bfloat16"
         print("mixed precision: bfloat16 generator fwd + VGG pyramid")
+    if os.environ.get("SAMT_TRAIN_F32"):
+        opt["train"].pop("compute_dtype", None)
+        print("full f32 step (compute_dtype removed)")
+    if os.environ.get("SAMT_REMAT") is not None:
+        opt["train"]["remat"] = bool(int(os.environ["SAMT_REMAT"]))
+        print(f"remat = {opt['train']['remat']}")
     trainer = Trainer(opt)
 
     rng = np.random.RandomState(0)
@@ -79,6 +85,21 @@ def main():
     med = sorted(times)[len(times) // 2]
     print(f"steady step: best {best*1e3:.0f} ms, median {med*1e3:.0f} ms "
           f"({batch/best:.2f} samples/s/chip best)")
+
+    # chained timing: enqueue CH steps, fetch ONCE — the per-step loop
+    # above pays a ~50 ms relay round-trip per step (axon dev link),
+    # which real training (log every N steps) does not; this is the
+    # number that matches on-device step time.
+    ch = max(4, min(steps, 16))
+    key2 = jax.random.fold_in(key, 999)
+    t0 = time.perf_counter()
+    for i in range(ch):
+        key2 = jax.random.fold_in(key2, i)
+        state, logs_c = step_fn(state, batch_data, key2, vgg_params)
+    _ = float(jax.device_get(logs_c["l_g_total"]))
+    chained = (time.perf_counter() - t0) / ch
+    print(f"chained step: {chained*1e3:.0f} ms/step over {ch} "
+          f"({batch/chained:.2f} samples/s/chip)")
     try:
         from tools.flops_report import (TRAIN_STEP_FLOPS_PER_SAMPLE,
                                         _device_peak_flops)
@@ -86,7 +107,9 @@ def main():
         peak = _device_peak_flops()
         if peak:
             print(f"train MFU (median step): "
-                  f"{batch * TRAIN_STEP_FLOPS_PER_SAMPLE / med / peak:.3f}")
+                  f"{batch * TRAIN_STEP_FLOPS_PER_SAMPLE / med / peak:.3f}"
+                  f"  (chained: "
+                  f"{batch * TRAIN_STEP_FLOPS_PER_SAMPLE / chained / peak:.3f})")
     except Exception:
         pass
     print(f"logs: {logs}")
