@@ -64,8 +64,35 @@ def _shift_cols(x, kh, kw, strides, padding):
     return jnp.concatenate(cols, axis=-1)  # (B, Ho, Wo, kh*kw*C)
 
 
+def _flat_taps(x, kh, kw, padding):
+    """Stride-1 im2col with the spatial pad done on a (B, H, W*C) view.
+
+    jnp.pad of an NHWC tensor with C<=8 materializes in a (H*W, C, B)
+    {1,2,0:T(2,128)} layout in large graphs — a 42x tile-padded DMA
+    relayout measured at ~1.4 ms per pad on v5e at 258² (docs/PERF.md
+    §8). Padding the flattened (W*C)-minor view (lane-aligned) and
+    slicing taps at j*C offsets avoids that layout class entirely.
+    Returns (B, Ho, kh*kw, Wo, C)."""
+    (pt, pb), (pl, pr) = padding
+    B, H, W, C = x.shape
+    xf = x.reshape(B, H, W * C)
+    xpf = jnp.pad(xf, ((0, 0), (pt, pb), (pl * C, pr * C)))
+    Ho = H + pt + pb - kh + 1
+    Wo = W + pl + pr - kw + 1
+    taps = jnp.stack(
+        [xpf[:, i:i + Ho, j * C:(j + Wo) * C]
+         for i in range(kh) for j in range(kw)], axis=2)
+    return taps.reshape(B, Ho, kh * kw, Wo, C)
+
+
 def _shift_conv_impl(x, kernel, strides, padding):
     kh, kw, cin, cout = kernel.shape
+    if strides == (1, 1) and cin <= _SMALL_CH:
+        taps = _flat_taps(x, kh, kw, padding)  # (B,Ho,k²,Wo,C)
+        return jax.lax.dot_general(
+            taps, kernel.reshape(kh * kw, cin, cout),
+            (((2, 4), (0, 1)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
     patches = _shift_cols(x, kh, kw, strides, padding)
     return jnp.matmul(patches, kernel.reshape(kh * kw * cin, cout),
                       precision=jax.lax.Precision.HIGHEST)
@@ -94,18 +121,24 @@ def _shift_conv_fwd(x, kernel, strides, padding):
 def _shift_conv_bwd(strides, padding, res, dy):
     x, kernel = res
     kh, kw, cin, cout = kernel.shape
-    patches = _shift_cols(x, kh, kw, strides, padding)
-    dK = jnp.einsum("bhwk,bhwf->kf", patches, dy,
-                    precision=jax.lax.Precision.HIGHEST)
-    dK = dK.reshape(kh, kw, cin, cout)
+    if strides == (1, 1) and cin <= _SMALL_CH:
+        taps = _flat_taps(x, kh, kw, padding)  # (B,H,k²,W,C)
+        dK = jnp.einsum("bhtwc,bhwf->tcf", taps, dy,
+                        precision=jax.lax.Precision.HIGHEST)
+        dK = dK.reshape(kh, kw, cin, cout)
+    else:
+        patches = _shift_cols(x, kh, kw, strides, padding)
+        dK = jnp.einsum("bhwk,bhwf->kf", patches, dy,
+                        precision=jax.lax.Precision.HIGHEST)
+        dK = dK.reshape(kh, kw, cin, cout)
     # dX[i] = sum_k dy[i - k + p] K[k]^T  ==  corr(dy, flip(K)^T) with
-    # pad (k-1-p) — itself a shift+matmul (stride 1 only)
+    # pad (k-1-p) — the same shift+matmul conv with a flipped,
+    # channel-transposed kernel (stride 1 only)
     (pt, pb), (pl, pr) = padding
-    dyp = _shift_cols(dy, kh, kw, (1, 1),
-                      ((kh - 1 - pt, kh - 1 - pb), (kw - 1 - pl, kw - 1 - pr)))
-    kmat = kernel[::-1, ::-1].transpose(0, 1, 3, 2).reshape(
-        kh * kw * cout, cin)
-    dX = jnp.matmul(dyp, kmat, precision=jax.lax.Precision.HIGHEST)
+    kflip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)  # (kh,kw,cout,cin)
+    dX = _shift_conv_impl(
+        dy, kflip, (1, 1),
+        ((kh - 1 - pt, kh - 1 - pb), (kw - 1 - pl, kw - 1 - pr)))
     return dX, dK
 
 
