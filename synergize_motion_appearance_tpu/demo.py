@@ -57,7 +57,12 @@ def build_and_load(config):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--from_export", default=None,
+                        help="serve from an AOT artifact directory "
+                             "(tools/export_serving.py) instead of "
+                             "building networks from --config; pipeline "
+                             "flags come from the artifact manifest")
     parser.add_argument("--source_image", default="source.png")
     parser.add_argument("--driving_video", default="driving.mp4")
     parser.add_argument("--result_video", default="result.mp4")
@@ -87,8 +92,18 @@ def main(argv=None):
     from .utils.img_util import arr2img, img2arr, mimsave, read_video_frames
     from .utils.options import load_yaml
 
-    config = load_yaml(opt.config)
-    img_size = int(config["network_g"].get("img_size", 256))
+    if opt.from_export is not None:
+        from .serving import load_serving_pipeline
+
+        pipeline = load_serving_pipeline(opt.from_export)
+        img_size = pipeline.img_size
+        fast_io = pipeline.u8_io
+    else:
+        if opt.config is None:
+            parser.error("--config is required unless --from_export is set")
+        config = load_yaml(opt.config)
+        img_size = int(config["network_g"].get("img_size", 256))
+        fast_io = opt.fast
 
     # host-side decode + preprocessing (demo.py:165-185)
     source_bgr = cv2.imread(opt.source_image, cv2.IMREAD_COLOR)
@@ -104,17 +119,18 @@ def main(argv=None):
         for f in frames_rgb
     ]).astype(np.float32)
 
-    net_g, motion_estimator, g_vars, m_vars = build_and_load(config)
-    import jax.numpy as jnp
+    if opt.from_export is None:
+        net_g, motion_estimator, g_vars, m_vars = build_and_load(config)
+        import jax.numpy as jnp
 
-    pipeline = ReenactmentPipeline(
-        net_g, motion_estimator, g_vars, m_vars,
-        relative=opt.relative, adapt_scale=opt.adapt_scale,
-        frame_batch=opt.frame_batch,
-        compute_dtype=jnp.bfloat16 if (opt.bf16 or opt.fast) else None,
-        u8_io=opt.fast, yuv420_io=opt.fast, host_kp_downsample=opt.fast,
-    )
-    if opt.fast:
+        pipeline = ReenactmentPipeline(
+            net_g, motion_estimator, g_vars, m_vars,
+            relative=opt.relative, adapt_scale=opt.adapt_scale,
+            frame_batch=opt.frame_batch,
+            compute_dtype=jnp.bfloat16 if (opt.bf16 or opt.fast) else None,
+            u8_io=opt.fast, yuv420_io=opt.fast, host_kp_downsample=opt.fast,
+        )
+    if fast_io:
         # feed uint8 straight through; normalization runs on device
         source = np.clip((source + 1.0) * 127.5, 0,
                          255).astype(np.uint8)

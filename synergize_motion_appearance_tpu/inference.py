@@ -391,11 +391,19 @@ def find_best_frame_kp(pipeline: ReenactmentPipeline, source_np,
     kp_s = norm(kp_s)
     best, best_idx = float("inf"), 0
     kps = []
-    bs = 64
+    # chunk at the pipeline's compiled frame batch (AOT serving stages
+    # accept exactly batch 1 or frame_batch), padding the tail
+    bs = int(getattr(pipeline, "frame_batch", 64) or 64)
     for s in range(0, driving_np.shape[0], bs):
+        chunk = driving_np[s:s + bs]
+        n = chunk.shape[0]
+        if n < bs:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], bs - n, axis=0)]
+            )
         kps.append(np.asarray(
-            pipeline.estimate_kp(driving_np[s:s + bs])["value"]
-        ))
+            pipeline.estimate_kp(chunk)["value"]
+        )[:n])
     kps = np.concatenate(kps, axis=0)
     for i in range(kps.shape[0]):
         n = float(((norm(kps[i]) - kp_s) ** 2).sum())
