@@ -143,9 +143,32 @@ def _within_envelope(q, k):
 
 
 def _fused_attention_impl(q, k, v, bias):
-    if jax.default_backend() == "tpu" and _within_envelope(q, k):
-        return _fused_attention_pallas(q, k, v, bias)
-    return _dense_reference(q, k, v, bias)
+    import os
+
+    if not _within_envelope(q, k):
+        return _dense_reference(q, k, v, bias)
+    # Multi-platform lowering (jax.export platforms=("cpu","tpu")) keeps
+    # every platform_dependent branch and Pallas cannot lower on CPU, so
+    # such exports must opt into the portable dense path. Single-platform
+    # lowering resolves the branch statically: a tpu-targeted export from
+    # a CPU host still embeds the Mosaic kernel.
+    if os.environ.get("SAMT_PORTABLE_ATTENTION") == "1":
+        return _dense_reference(q, k, v, bias)
+    # platform_dependent resolves at LOWERING time, so a tpu-targeted
+    # jax.export artifact (serving.py) keeps the Pallas kernel while cpu
+    # lowering takes the dense path
+    if bias is None:
+        return jax.lax.platform_dependent(
+            q, k, v,
+            tpu=lambda q_, k_, v_: _fused_attention_pallas(q_, k_, v_,
+                                                           None),
+            default=lambda q_, k_, v_: _dense_reference(q_, k_, v_, None),
+        )
+    return jax.lax.platform_dependent(
+        q, k, v, bias,
+        tpu=_fused_attention_pallas,
+        default=_dense_reference,
+    )
 
 
 def _fwd(q, k, v, bias):

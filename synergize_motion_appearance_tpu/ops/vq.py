@@ -7,9 +7,10 @@ beta * mean((sg[zq]-z)^2) + mean((zq-sg[z])^2), perplexity stats.
 
 TPU-first formulation: the distance matrix is one (N, D) @ (D, K) matmul on
 the MXU; the argmin + one-hot-matmul codebook read that the reference does
-via scatter is replaced by a direct `take` gather. A fused Pallas kernel
-(distance+argmin in VMEM tiles) lives in ops/pallas_kernels.py for the hot
-path; this module is the reference implementation and the public API.
+via scatter is replaced by a direct `take` gather. XLA fuses the
+norm-terms + argmin into the matmul epilogue, so no hand-written kernel is
+needed (profiling shows VQ far off the step's critical path — the fused
+attention in ops/fused_attention.py is where kernel effort pays).
 """
 from __future__ import annotations
 

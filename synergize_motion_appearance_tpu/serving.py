@@ -23,12 +23,13 @@ Stages are exported with the network variables as ARGUMENTS (matching
 inference.ReenactmentPipeline's jit structure), so the same artifact can
 serve updated weights of identical shape without re-exporting.
 
-By default a stage is exported for the platform the exporter runs on
-(export on the TPU host to capture the Pallas attention path). Passing
-``platforms=("cpu", "tpu")`` emits one multi-platform artifact, but note
-trace-time backend checks then resolve against the EXPORTING host: a
-CPU-host multi-platform export serves TPUs through the portable dense
-paths (see ops/fused_attention.py:146).
+By default a stage is exported for the platform the exporter runs on.
+``platforms=("tpu",)`` cross-compiles a TPU artifact from any host and
+still embeds the Pallas attention kernel (platform selection happens at
+lowering via lax.platform_dependent, ops/fused_attention.py). A genuinely
+multi-platform ``platforms=("cpu", "tpu")`` artifact must lower every
+branch for every platform, which Pallas cannot do on CPU, so those
+exports trace the portable dense paths instead.
 """
 from __future__ import annotations
 
@@ -186,14 +187,31 @@ def export_pipeline(pipeline, out_dir: str,
     feats_spec = jax.eval_shape(enc_fn, g_spec, src_in)
 
     kwargs = {} if platforms is None else {"platforms": tuple(platforms)}
-    exports = {
-        "kp1": jexport.export(jax.jit(kp_fn), **kwargs)(m_spec, kp1_in),
-        "kpN": jexport.export(jax.jit(kp_fn), **kwargs)(m_spec, kpN_in),
-        "enc": jexport.export(jax.jit(enc_fn), **kwargs)(g_spec, src_in),
-        "gen": jexport.export(jax.jit(gen_fn), **kwargs)(
-            g_spec, m_spec, src_in, feats_spec, kp1_spec, kpN_spec,
-            kp1_spec),
-    }
+    # a genuinely multi-platform artifact lowers every branch for every
+    # platform, which Pallas kernels cannot do on CPU — trace those
+    # exports through the portable paths (see ops/fused_attention.py)
+    portable = platforms is not None and len(tuple(platforms)) > 1
+    prev = os.environ.get("SAMT_PORTABLE_ATTENTION")
+    if portable:
+        os.environ["SAMT_PORTABLE_ATTENTION"] = "1"
+    try:
+        exports = {
+            "kp1": jexport.export(jax.jit(kp_fn), **kwargs)(m_spec,
+                                                            kp1_in),
+            "kpN": jexport.export(jax.jit(kp_fn), **kwargs)(m_spec,
+                                                            kpN_in),
+            "enc": jexport.export(jax.jit(enc_fn), **kwargs)(g_spec,
+                                                             src_in),
+            "gen": jexport.export(jax.jit(gen_fn), **kwargs)(
+                g_spec, m_spec, src_in, feats_spec, kp1_spec, kpN_spec,
+                kp1_spec),
+        }
+    finally:
+        if portable:
+            if prev is None:
+                os.environ.pop("SAMT_PORTABLE_ATTENTION", None)
+            else:
+                os.environ["SAMT_PORTABLE_ATTENTION"] = prev
     for name, ex in exports.items():
         with open(os.path.join(out_dir, f"{name}.bin"), "wb") as f:
             f.write(ex.serialize())

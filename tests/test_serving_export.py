@@ -86,6 +86,33 @@ def test_export_fast_io_mode(tmp_path):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_cross_platform_exports(tmp_path):
+    """platforms=("tpu",) from a CPU host embeds the Mosaic attention
+    kernel; platforms=("cpu","tpu") lowers the portable paths and still
+    matches the live pipeline on CPU."""
+    from jax import export as jexport
+
+    pipe = _build_tiny_pipeline(frame_batch=4, compute_dtype=None)
+    rng = np.random.RandomState(3)
+    src = (rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+    drv = (rng.rand(5, 64, 64, 3).astype(np.float32) * 2 - 1)
+    ref = pipe.animate(src, drv)
+
+    tpu_art = str(tmp_path / "tpu_art")
+    export_pipeline(pipe, tpu_art, platforms=("tpu",))
+    with open(os.path.join(tpu_art, "gen.bin"), "rb") as f:
+        ex = jexport.deserialize(bytearray(f.read()))
+    assert list(ex.platforms) == ["tpu"]
+
+    both_art = str(tmp_path / "both_art")
+    export_pipeline(pipe, both_art, platforms=("cpu", "tpu"))
+    with open(os.path.join(both_art, "manifest.json")) as f:
+        assert json.load(f)["platforms"] == ["cpu", "tpu"]
+    served = load_serving_pipeline(both_art)
+    out = served.animate(src, drv)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_demo_cli_from_export(tmp_path):
     """demo.py --from_export serves a video end-to-end from the artifact
     (no --config, no network build)."""
