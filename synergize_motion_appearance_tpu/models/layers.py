@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -194,8 +195,10 @@ class _ShiftMatmulConv(nn.Module):
 
 
 # Channel-count threshold below which the conv emitters are pathological
-# (bf16 lane tile 128: minor dims this small tile-pad >=16x).
-_SMALL_CH = 8
+# (bf16 lane tile 128: minor dims this small tile-pad >=16x). Overridable
+# for perf experiments (tools/bench_conv_b2.py): raising it routes
+# mid-channel convs through the shift+matmul form too.
+_SMALL_CH = int(os.environ.get("SAMT_SHIFT_CONV_MAX_CH", "8"))
 
 
 class Conv2d(nn.Module):
