@@ -51,7 +51,21 @@ def test_conv3x3_grad_matches_xla():
                                    atol=2e-4, rtol=1e-4)
 
 
-def test_small_channel_conv2d_matches_nn_conv():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,s,p,hw",
+    [
+        (3, 16, 3, 1, 1, 16),   # stem, custom-vjp path
+        (3, 8, 4, 2, 1, 16),    # strided (autodiff path)
+        pytest.param(16, 3, 3, 1, 1, 16,   # RGB head, custom-vjp path
+                     marks=pytest.mark.slow),
+        pytest.param(3, 5, 7, 1, 0, 16,    # kp 7x7 pad 0
+                     marks=pytest.mark.slow),
+    ],
+)
+def test_small_channel_conv2d_matches_nn_conv(cin, cout, k, s, p, hw):
     """Conv2d's shift+matmul small-channel path (layers._ShiftMatmulConv,
     incl. the custom VJP used at stride 1) must match nn.Conv in value,
     input-grad, and kernel-grad. Covers the RGB stem/head shapes that
@@ -61,25 +75,34 @@ def test_small_channel_conv2d_matches_nn_conv():
     from synergize_motion_appearance_tpu.models.layers import Conv2d
 
     rng = np.random.RandomState(0)
-    cases = [(3, 16, 3, 1, 1, 16),   # stem, custom-vjp path
-             (16, 3, 3, 1, 1, 16),   # RGB head, custom-vjp path
-             (3, 5, 7, 1, 0, 16),    # kp 7x7 pad 0
-             (3, 8, 4, 2, 1, 16)]    # strided (autodiff path)
-    for cin, cout, k, s, p, hw in cases:
+    for _ in [0]:
         x = jnp.asarray(rng.randn(2, hw, hw, cin).astype(np.float32))
         m = Conv2d(cout, (k, k), strides=(s, s), padding=p)
         v = m.init(jax.random.PRNGKey(0), x)
         ref = nn.Conv(cout, (k, k), strides=(s, s), padding=((p, p), (p, p)))
         rv = {"params": v["params"]["Conv_0"]}
-        np.testing.assert_allclose(np.asarray(m.apply(v, x)),
-                                   np.asarray(ref.apply(rv, x)),
+
+        # one jit per impl (value + input-grad + kernel-grad together) —
+        # separate jits tripled the CPU compile time of this test
+        @jax.jit
+        def ours(v, x):
+            y = m.apply(v, x)
+            gx = jax.grad(lambda xx: (m.apply(v, xx) ** 2).sum())(x)
+            gk = jax.grad(lambda vv: (m.apply(vv, x) ** 2).sum())(v)
+            return y, gx, gk["params"]["Conv_0"]["kernel"]
+
+        @jax.jit
+        def theirs(rv, x):
+            y = ref.apply(rv, x)
+            gx = jax.grad(lambda xx: (ref.apply(rv, xx) ** 2).sum())(x)
+            gk = jax.grad(lambda vv: (ref.apply(vv, x) ** 2).sum())(rv)
+            return y, gx, gk["params"]["kernel"]
+
+        y1, g1, k1 = ours(v, x)
+        y2, g2, k2 = theirs(rv, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                    atol=2e-5, rtol=1e-5)
-        g1 = jax.grad(lambda xx: (m.apply(v, xx) ** 2).sum())(x)
-        g2 = jax.grad(lambda xx: (ref.apply(rv, xx) ** 2).sum())(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-4, rtol=1e-4)
-        k1 = jax.grad(lambda vv: (m.apply(vv, x) ** 2).sum())(v)
-        k2 = jax.grad(lambda vv: (ref.apply(vv, x) ** 2).sum())(rv)
-        np.testing.assert_allclose(
-            np.asarray(k1["params"]["Conv_0"]["kernel"]),
-            np.asarray(k2["params"]["kernel"]), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                                   atol=1e-4, rtol=1e-4)

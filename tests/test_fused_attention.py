@@ -17,9 +17,9 @@ from synergize_motion_appearance_tpu.ops.fused_attention import (
     "B,H,L,K,d,masked",
     [
         (2, 4, 64, 64, 4, False),
-        (2, 4, 64, 16, 8, False),
+        pytest.param(2, 4, 64, 16, 8, False, marks=pytest.mark.slow),
         (1, 8, 128, 128, 32, True),
-        (3, 2, 64, 48, 16, True),
+        pytest.param(3, 2, 64, 48, 16, True, marks=pytest.mark.slow),
     ],
 )
 def test_fused_attention_matches_dense(B, H, L, K, d, masked):
@@ -41,7 +41,7 @@ def test_fused_attention_all_masked_rows_zero():
     """bias -inf on every key -> output rows are exactly 0 (the dense
     path's nan_to_num guard)."""
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    B, H, L, K, d = 2, 2, 16, 32, 8
+    B, H, L, K, d = 1, 1, 8, 16, 4
     q = jax.random.normal(ks[0], (B, H, L, d), jnp.float32)
     k = jax.random.normal(ks[1], (B, H, K, d), jnp.float32)
     v = jax.random.normal(ks[2], (B, H, K, d), jnp.float32)
