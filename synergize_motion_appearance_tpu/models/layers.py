@@ -222,9 +222,17 @@ class Conv2d(nn.Module):
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
         fan_in = kh * kw * in_ch // self.groups
+        # Route ONLY small-INPUT-channel convs (RGB/flow stems: VGG conv0,
+        # kp stem, PatchGAN conv0, BasicMotionEncoder flow convs) through
+        # the shift+matmul form. Small-OUTPUT-channel heads (RGB head
+        # 64->3, RefineFlow 128->2/1) measured 2.9-5.6x SLOWER through the
+        # kh*kw*Cin patch materialization at inference fb=64, and slower
+        # fwd+bwd at train batch 2 too (tools/bench_small_cout.py,
+        # docs/PERF.md §9) — lax.conv wins for those despite the lane-
+        # padded cout, so they stay on nn.Conv.
         if (self.groups == 1 and (kh, kw) != (1, 1)
                 and isinstance(pad, tuple)
-                and (in_ch <= _SMALL_CH or self.features <= _SMALL_CH)):
+                and in_ch <= _SMALL_CH):
             return _ShiftMatmulConv(
                 features=self.features,
                 kernel_size=self.kernel_size,
