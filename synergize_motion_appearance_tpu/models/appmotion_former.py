@@ -425,16 +425,18 @@ class AppMotionCompFormer(nn.Module):
 
     def _codebook_context(self, quantizer, codebook_size, split_count,
                           scale_idx, batch, disjoint):
-        """Sliced codebook entries broadcast to (B, K, D)
-        (appmotioncodebook_arch.py:400-407, :508-525)."""
+        """Sliced codebook entries (K, D), shared across the batch
+        (appmotioncodebook_arch.py:400-407, :508-525 — the torch code
+        repeats the codebook per batch element; here the single copy
+        flows through MultiheadAttention's unbatched-context path so the
+        k/v projection and head relayout run once, not per frame)."""
+        del batch
         chunk = codebook_size // split_count
         if scale_idx is None:
-            cb = quantizer.codebook_slice(0, codebook_size)
-        elif disjoint:
-            cb = quantizer.codebook_slice(chunk * (scale_idx - 1), chunk)
-        else:
-            cb = quantizer.codebook_slice(0, chunk * scale_idx)
-        return jnp.broadcast_to(cb[None], (batch,) + cb.shape)
+            return quantizer.codebook_slice(0, codebook_size)
+        if disjoint:
+            return quantizer.codebook_slice(chunk * (scale_idx - 1), chunk)
+        return quantizer.codebook_slice(0, chunk * scale_idx)
 
     def motion_codebook_compensation(self, motion, query_feat,
                                      warp_source_feat, res=None,

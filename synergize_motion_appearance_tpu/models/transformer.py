@@ -38,7 +38,10 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask: Optional[jnp.ndarray] = None):
-        """q: (B, Lq, E); k, v: (B, Lk, E);
+        """q: (B, Lq, E); k, v: (B, Lk, E) — or (Lk, E) unbatched for a
+        batch-shared context (the codebook): its projection + head
+        relayout then run once instead of per batch element, and the
+        fused attention kernel reads the single copy directly;
         key_padding_mask: (B, Lk) bool, True = exclude key."""
         E, H = self.embed_dim, self.num_heads
         d = E // H
@@ -54,14 +57,18 @@ class MultiheadAttention(nn.Module):
         bo = self.param("out_proj_bias", nn.initializers.zeros, (E,))
 
         B, Lq, _ = q.shape
-        Lk = k.shape[1]
+        Lk = k.shape[-2]
         qp = q @ wq + b_in[:E]
         kp = k @ wk + b_in[E:2 * E]
         vp = v @ wv + b_in[2 * E:]
 
         qp = qp.reshape(B, Lq, H, d).transpose(0, 2, 1, 3)
-        kp = kp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
-        vp = vp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
+        if k.ndim == 2:
+            kp = kp.reshape(1, Lk, H, d).transpose(0, 2, 1, 3)
+            vp = vp.reshape(1, Lk, H, d).transpose(0, 2, 1, 3)
+        else:
+            kp = kp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
+            vp = vp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
 
         # fused Pallas attention on TPU (keeps the (L, K) score tile in
         # VMEM; all-masked rows -> 0, matching the nan_to_num guard the
@@ -85,7 +92,9 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, context, hw, key_padding_mask=None,
                  query_pos=None):
-        """tgt: (B, L, E); context: (B, K, E); hw: (h, w) with h*w == L."""
+        """tgt: (B, L, E); context: (B, K, E), or (K, E) batch-shared
+        (the codebook — projected once, not per batch element);
+        hw: (h, w) with h*w == L."""
         h, w = hw
         B, L, E = tgt.shape
 

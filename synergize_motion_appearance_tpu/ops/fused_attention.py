@@ -36,8 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dense_reference(q, k, v, bias):
-    """jnp reference: q (B,H,L,d); k,v (B,H,K,d); bias (B,K) additive."""
+    """jnp reference: q (B,H,L,d); k,v (B,H,K,d) — or (1,H,K,d) shared
+    across the batch (codebook context); bias (B,K) additive."""
     d = q.shape[-1]
+    if k.shape[0] == 1 and q.shape[0] != 1:
+        k = jnp.broadcast_to(k, (q.shape[0],) + k.shape[1:])
+        v = jnp.broadcast_to(v, (q.shape[0],) + v.shape[1:])
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
     ) / math.sqrt(d)
@@ -99,13 +103,17 @@ def _fused_attention_pallas(q, k, v, bias, interpret=False):
     scale = 1.0 / math.sqrt(d)
     masked = bias is not None
     kernel = functools.partial(_attn_kernel, scale, masked)
+    # batch-shared k/v (codebook context arrives as (1, H, K, d)): every
+    # program reads block row 0 — the kernel never materializes the
+    # broadcast, so the 64x-redundant per-frame k/v projection+relayout
+    # the dense path would need simply disappears
+    kv_b = (lambda b, h: (b, h, 0, 0)) if k.shape[0] == B \
+        else (lambda b, h: (0, h, 0, 0))
     in_specs = [
         pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, K, d), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, K, d), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, K, d), kv_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, K, d), kv_b, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if masked:
@@ -129,7 +137,9 @@ def _fused_attention_pallas(q, k, v, bias, interpret=False):
 
 @jax.custom_vjp
 def fused_attention(q, k, v, bias=None):
-    """Softmax attention, fused on TPU. q: (B,H,L,d); k,v: (B,H,K,d);
+    """Softmax attention, fused on TPU. q: (B,H,L,d); k,v: (B,H,K,d), or
+    (1,H,K,d) to share one k/v across the batch (codebook context — the
+    kernel indexes block row 0 instead of materializing the broadcast);
     bias: optional (B, K) additive mask (use -1e30 for excluded keys).
     Returns (B, H, L, d) in q's dtype."""
     return _fused_attention_impl(q, k, v, bias)

@@ -62,3 +62,43 @@ def test_fused_attention_grad_matches_dense():
     g2 = jax.grad(lambda q_: jnp.sum(_dense_reference(q_, k, v, None) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attention_shared_kv_matches_broadcast():
+    """k/v passed as (1,H,K,d) (batch-shared codebook context) must equal
+    the explicitly broadcast (B,H,K,d) call."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    B, H, L, K, d = 3, 2, 16, 32, 8
+    q = jax.random.normal(ks[0], (B, H, L, d), jnp.float32)
+    k = jax.random.normal(ks[1], (1, H, K, d), jnp.float32)
+    v = jax.random.normal(ks[2], (1, H, K, d), jnp.float32)
+    shared = _fused_attention_pallas(q, k, v, None, interpret=True)
+    kb = jnp.broadcast_to(k, (B, H, K, d))
+    vb = jnp.broadcast_to(v, (B, H, K, d))
+    dense = _fused_attention_pallas(q, kb, vb, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(dense),
+                               atol=1e-6, rtol=1e-6)
+    # dense reference handles the shared shape too (CPU fallback path)
+    ref = _dense_reference(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_unbatched_context_matches_batched():
+    """MultiheadAttention with (K, E) context == the (B, K, E) broadcast
+    (the codebook cross-attention path)."""
+    from synergize_motion_appearance_tpu.models.transformer import (
+        MultiheadAttention,
+    )
+
+    B, L, K, E = 2, 12, 20, 32
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    q = jax.random.normal(ks[0], (B, L, E), jnp.float32)
+    ctx = jax.random.normal(ks[1], (K, E), jnp.float32)
+    m = MultiheadAttention(E, 4)
+    vars_ = m.init(jax.random.PRNGKey(5), q, ctx, ctx)
+    out_u = m.apply(vars_, q, ctx, ctx)
+    ctx_b = jnp.broadcast_to(ctx[None], (B, K, E))
+    out_b = m.apply(vars_, q, ctx_b, ctx_b)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_b),
+                               atol=2e-6, rtol=2e-6)
