@@ -14,6 +14,8 @@ bespoke machinery.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import math
 import os
@@ -200,6 +202,25 @@ class _ShiftMatmulConv(nn.Module):
 # mid-channel convs through the shift+matmul form too.
 _SMALL_CH = int(os.environ.get("SAMT_SHIFT_CONV_MAX_CH", "8"))
 
+# Trace-scoped routing for small-OUTPUT-channel convs (see Conv2d). A
+# ContextVar so loader/prefetch threads can't leak the train setting
+# into an inference trace. Param trees are identical either way, so the
+# same checkpoint drives both graphs.
+_COUT_SHIFT = contextvars.ContextVar("samt_cout_shift_convs",
+                                     default=False)
+
+
+@contextlib.contextmanager
+def cout_shift_convs(enable: bool = True):
+    """Scope (around a jit TRACE) in which Conv2d routes cout<=8 convs
+    through the shift+matmul form — the train-step recipe. Inference
+    traces leave this off (lax.conv measured 2.9-5.6x faster there)."""
+    tok = _COUT_SHIFT.set(enable)
+    try:
+        yield
+    finally:
+        _COUT_SHIFT.reset(tok)
+
 
 class Conv2d(nn.Module):
     """nn.Conv with torch-default init and torch padding semantics."""
@@ -222,17 +243,22 @@ class Conv2d(nn.Module):
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
         fan_in = kh * kw * in_ch // self.groups
-        # Route ONLY small-INPUT-channel convs (RGB/flow stems: VGG conv0,
-        # kp stem, PatchGAN conv0, BasicMotionEncoder flow convs) through
-        # the shift+matmul form. Small-OUTPUT-channel heads (RGB head
-        # 64->3, RefineFlow 128->2/1) measured 2.9-5.6x SLOWER through the
-        # kh*kw*Cin patch materialization at inference fb=64, and slower
-        # fwd+bwd at train batch 2 too (tools/bench_small_cout.py,
-        # docs/PERF.md §9) — lax.conv wins for those despite the lane-
-        # padded cout, so they stay on nn.Conv.
+        # Small-INPUT-channel convs (RGB/flow stems: VGG conv0, kp stem,
+        # PatchGAN conv0, BasicMotionEncoder flow convs) always take the
+        # shift+matmul form. Small-OUTPUT-channel heads (RGB head 64->3,
+        # RefineFlow 128->2/1) are workload-dependent: at inference fb=64
+        # the kh*kw*Cin patch materialization measured 2.9-5.6x slower
+        # than lax.conv (tools/bench_small_cout.py), but inside the TRAIN
+        # graph the shift form is a net -18 ms/step at batch 2 (202->184
+        # ms — the isolated microbench misses the layout pollution the
+        # lane-padded cout emitters inflict on their grad neighbors).
+        # The trainer scopes `cout_shift_convs()` around its step trace;
+        # inference graphs keep lax.conv. docs/PERF.md §9.
         if (self.groups == 1 and (kh, kw) != (1, 1)
                 and isinstance(pad, tuple)
-                and in_ch <= _SMALL_CH):
+                and (in_ch <= _SMALL_CH
+                     or (_COUT_SHIFT.get()
+                         and self.features <= _SMALL_CH))):
             return _ShiftMatmulConv(
                 features=self.features,
                 kernel_size=self.kernel_size,

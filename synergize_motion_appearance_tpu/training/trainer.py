@@ -364,6 +364,16 @@ class Trainer:
         Jit/pjit this once; batch is sharded on the data axis."""
 
         def train_step(state: TrainState, batch, rng, vgg_params):
+            from ..models.layers import cout_shift_convs
+
+            with cout_shift_convs():
+                return self._train_step_body(state, batch, rng, vgg_params)
+
+        self._train_step_body = self._make_train_step_body()
+        return train_step
+
+    def _make_train_step_body(self) -> Callable:
+        def train_step(state: TrainState, batch, rng, vgg_params):
             # expose vgg params to the probe closure without re-tracing
             self._vgg_params = vgg_params
             source = batch["source"]

@@ -69,13 +69,17 @@ def test_small_channel_conv2d_matches_nn_conv(cin, cout, k, s, p, hw):
     """Conv2d's shift+matmul small-channel path (layers._ShiftMatmulConv,
     incl. the custom VJP used at stride 1) must match nn.Conv in value,
     input-grad, and kernel-grad. Covers the RGB stem/head shapes that
-    hit pathological XLA conv emitters on v5e (docs/PERF.md §8)."""
+    hit pathological XLA conv emitters on v5e (docs/PERF.md §8). Runs
+    under cout_shift_convs() so the cout<=8 case exercises the shift
+    path the trainer's step-trace scope enables."""
     import flax.linen as nn
 
-    from synergize_motion_appearance_tpu.models.layers import Conv2d
+    from synergize_motion_appearance_tpu.models.layers import (
+        Conv2d, cout_shift_convs,
+    )
 
     rng = np.random.RandomState(0)
-    for _ in [0]:
+    with cout_shift_convs():
         x = jnp.asarray(rng.randn(2, hw, hw, cin).astype(np.float32))
         m = Conv2d(cout, (k, k), strides=(s, s), padding=p)
         v = m.init(jax.random.PRNGKey(0), x)
@@ -106,3 +110,30 @@ def test_small_channel_conv2d_matches_nn_conv(cin, cout, k, s, p, hw):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_cout_shift_routing_contextvar():
+    """cout<=8 convs route to shift+matmul ONLY inside cout_shift_convs()
+    (the trainer's step-trace scope); outputs are identical either way."""
+    import jax
+    import flax.linen as nn  # noqa: F401
+
+    from synergize_motion_appearance_tpu.models.layers import (
+        Conv2d, cout_shift_convs,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 12, 12, 16).astype(np.float32))
+    m = Conv2d(3, (3, 3), padding=1)  # cin=16 > 8, cout=3 <= 8
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    jp_off = str(jax.make_jaxpr(lambda: m.apply(v, x))())
+    with cout_shift_convs():
+        jp_on = str(jax.make_jaxpr(lambda: m.apply(v, x))())
+    assert "conv_general_dilated" in jp_off  # inference: lax.conv
+    assert "conv_general_dilated" not in jp_on  # train scope: shift+matmul
+
+    y_off = np.asarray(m.apply(v, x))
+    with cout_shift_convs():
+        y_on = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(y_on, y_off, atol=2e-5, rtol=1e-5)
