@@ -19,28 +19,57 @@ def cubic(x):
             * ((absx > 1) & (absx <= 2)))
 
 
-def _contributions(in_length, out_length, scale, kernel_width):
-    if scale < 1:
+def _contributions(in_length, out_length, scale, kernel_width,
+                   antialiasing=True):
+    """MATLAB calculate_weights_indices (reference
+    utils/matlab_functions.py:17-83): 1-based tap indices that may run
+    past either end — the caller extends the image SYMMETRICALLY
+    (MATLAB boundary), not by clamping. Returns (weights, 0-based
+    indices into the sym-extended image, pad_start, pad_end)."""
+    if scale < 1 and antialiasing:
         kernel_width = kernel_width / scale
     x = np.arange(1, out_length + 1).astype(np.float64)
     u = x / scale + 0.5 * (1 - 1 / scale)
     left = np.floor(u - kernel_width / 2)
     p = int(np.ceil(kernel_width)) + 2
-    indices = left[:, None] + np.arange(p)[None, :] - 1
-    dist = u[:, None] - indices - 1
-    if scale < 1:
+    indices = left[:, None] + np.arange(p)[None, :]  # 1-based
+    dist = u[:, None] - indices
+    if scale < 1 and antialiasing:
         weights = scale * cubic(dist * scale)
     else:
         weights = cubic(dist)
     weights = weights / np.sum(weights, axis=1, keepdims=True)
-    indices = np.clip(indices, 0, in_length - 1).astype(np.int64)
-    # trim zero-weight columns
-    nz = np.any(weights != 0, axis=0)
-    return weights[:, nz], indices[:, nz]
+    # trim only the first/last column when all-zero (reference :70-76)
+    zero_cols = np.sum(weights == 0, axis=0)
+    if not np.isclose(zero_cols[0], 0):
+        indices = indices[:, 1:p - 1]
+        weights = weights[:, 1:p - 1]
+    elif not np.isclose(zero_cols[-1], 0):
+        indices = indices[:, 0:p - 2]
+        weights = weights[:, 0:p - 2]
+    sym_len_s = int(-indices.min() + 1)
+    sym_len_e = int(indices.max() - in_length)
+    indices = (indices + sym_len_s - 1).astype(np.int64)
+    return weights, indices, max(sym_len_s, 0), max(sym_len_e, 0)
 
 
-def imresize(img: np.ndarray, scale: float) -> np.ndarray:
-    """MATLAB-style bicubic imresize with antialiasing (HWC float/uint8)."""
+def _sym_extend(arr, pad_s, pad_e, axis):
+    """MATLAB 'symmetric' boundary (reflect INCLUDING the edge pixel,
+    reference imresize :118-136)."""
+    if pad_s == 0 and pad_e == 0:
+        return arr
+    return np.pad(
+        arr,
+        [(pad_s, pad_e) if a == axis else (0, 0) for a in range(arr.ndim)],
+        mode="symmetric",
+    )
+
+
+def imresize(img: np.ndarray, scale: float,
+             antialiasing: bool = True) -> np.ndarray:
+    """MATLAB-style bicubic imresize (reference
+    utils/matlab_functions.py:86-166): symmetric boundary extension,
+    antialiased when downscaling. HWC (or HW) float/uint8."""
     img = np.asarray(img)
     in_dtype = img.dtype
     imgf = img.astype(np.float64)
@@ -50,10 +79,14 @@ def imresize(img: np.ndarray, scale: float) -> np.ndarray:
     out_h = int(np.ceil(h * scale))
     out_w = int(np.ceil(w * scale))
 
-    wts_h, idx_h = _contributions(h, out_h, scale, 4.0)
-    wts_w, idx_w = _contributions(w, out_w, scale, 4.0)
-    # rows: imgf[idx_h] has shape (out_h, taps, w, c)
-    tmp = np.einsum("op,opwc->owc", wts_h, imgf[idx_h])
+    wts_h, idx_h, hs, he = _contributions(h, out_h, scale, 4.0,
+                                          antialiasing)
+    wts_w, idx_w, ws, we = _contributions(w, out_w, scale, 4.0,
+                                          antialiasing)
+    ext = _sym_extend(imgf, hs, he, axis=0)
+    # rows: ext[idx_h] has shape (out_h, taps, w, c)
+    tmp = np.einsum("op,opwc->owc", wts_h, ext[idx_h])
+    tmp = _sym_extend(tmp, ws, we, axis=1)
     # cols: tmp[:, idx_w] has shape (out_h, out_w, taps, c)
     out = np.einsum("op,hopc->hoc", wts_w, tmp[:, idx_w])
     if in_dtype == np.uint8:
