@@ -24,6 +24,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +260,7 @@ class Conv2d(nn.Module):
                 and (in_ch <= _SMALL_CH
                      or (_COUT_SHIFT.get()
                          and self.features <= _SMALL_CH))):
-            return _ShiftMatmulConv(
+            y = _ShiftMatmulConv(
                 features=self.features,
                 kernel_size=self.kernel_size,
                 strides=self.strides,
@@ -270,17 +271,23 @@ class Conv2d(nn.Module):
                 dtype=self.dtype,
                 name="Conv_0",
             )(x)
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=pad,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init or torch_conv_kernel_init,
-            bias_init=self.bias_init or torch_bias_init(fan_in),
-            dtype=self.dtype,
-        )(x)
+        else:
+            y = nn.Conv(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                strides=self.strides,
+                padding=pad,
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init or torch_conv_kernel_init,
+                bias_init=self.bias_init or torch_bias_init(fan_in),
+                dtype=self.dtype,
+            )(x)
+        # anchor for SELECTIVE rematerialization (trainer remat:
+        # "selective"): jax.checkpoint(policy=save_only_these_names)
+        # keeps conv outputs resident and recomputes only the cheap
+        # elementwise/norm ops between them. No-op outside jax.checkpoint.
+        return _checkpoint_name(y, "conv_out")
 
 
 class _DenseParams(nn.Module):
@@ -346,12 +353,14 @@ class Dense(nn.Module):
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             y = y.reshape(B, th, tw, p, p * c).transpose(0, 1, 3, 2, 4)
-            return y.reshape(B, th * p, tw * p, c)
+            return _checkpoint_name(
+                y.reshape(B, th * p, tw * p, c), "dense_out")
         else:
             y = x @ kernel
         if bias is not None:
             y = y + bias.astype(y.dtype)
-        return y
+        # selective-remat anchor (see Conv2d)
+        return _checkpoint_name(y, "dense_out")
 
 
 class BatchNorm2d(nn.Module):

@@ -238,7 +238,18 @@ class Trainer:
         # features in the backward pass instead of storing activations
         # (SURVEY.md: trade FLOPs for HBM). Without it the flagship 256²
         # step at batch 4/chip overflows a v5e's 16G HBM by ~0.5G.
-        self.remat = bool(t.get("remat", True))
+        # remat: true  -> full checkpoint (recompute everything)
+        # remat: false -> store all activations (fastest when they fit)
+        # remat: selective -> keep conv/matmul outputs resident (the
+        #   expensive recomputes), recompute only elementwise/norm ops
+        #   between them — near remat-off speed at a fraction of the
+        #   activation memory (docs/PERF.md §10)
+        r = t.get("remat", True)
+        self.remat = r if r == "selective" else bool(r)
+        self.remat_policy = None
+        if self.remat == "selective":
+            self.remat_policy = jax.checkpoint_policies.save_only_these_names(
+                "conv_out", "dense_out")
         # opt-in mixed precision: run the generator forward and the VGG
         # pyramid loss in bf16 (f32 master params/optimizer/losses; the
         # cast is inside the grad so gradients land in f32). Motion
@@ -406,8 +417,13 @@ class Trainer:
                     {"params": params_g}, src, dm, w=1.0, gt=gt_
                 )
 
-            g_forward = jax.checkpoint(_g_forward) if self.remat \
-                else _g_forward
+            if self.remat == "selective":
+                g_forward = jax.checkpoint(_g_forward,
+                                           policy=self.remat_policy)
+            elif self.remat:
+                g_forward = jax.checkpoint(_g_forward)
+            else:
+                g_forward = _g_forward
             percep = self.cri_perceptual
             gt_feats = None
             if percep is not None:
@@ -431,7 +447,13 @@ class Trainer:
                         del b
                         return self.cri_perceptual.from_target_feats(
                             vp, a, gt_feats)
-                percep = jax.checkpoint(_percep) if self.remat else _percep
+                if self.remat == "selective":
+                    percep = jax.checkpoint(_percep,
+                                            policy=self.remat_policy)
+                elif self.remat:
+                    percep = jax.checkpoint(_percep)
+                else:
+                    percep = _percep
 
             def g_loss_fn(params_g, params_m):
                 logs = {}

@@ -174,3 +174,25 @@ def test_bf16_mixed_precision_step():
     a = float(logs1["l_g_total"])
     b = float(logs32["l_g_total"])
     assert abs(a - b) / max(abs(b), 1e-6) < 0.05, (a, b)
+
+
+def test_remat_modes_agree():
+    """remat: false / 'selective' / true produce the same step logs —
+    selective keeps conv/matmul outputs resident (checkpoint_name
+    anchors in layers.Conv2d/Dense) and recomputes only elementwise ops,
+    so numerics must be identical (docs/PERF.md §10)."""
+    batch = make_batch(2)
+    logs = {}
+    for remat in (False, "selective", True):
+        opt = tiny_opt()
+        opt["train"]["remat"] = remat
+        tr = Trainer(opt)
+        state, vgg_params = tr.init_state(jax.random.PRNGKey(0), batch)
+        fn = jax.jit(tr.make_train_step())
+        state, lg = fn(state, batch, jax.random.PRNGKey(1), vgg_params)
+        logs[remat] = {k: float(v) for k, v in lg.items()}
+        assert np.isfinite(logs[remat]["l_g_total"])
+    for k, base in logs[False].items():
+        for mode in ("selective", True):
+            assert abs(logs[mode][k] - base) <= 1e-4 * max(1.0, abs(base)) \
+                + 1e-5, (k, mode, logs[mode][k], base)

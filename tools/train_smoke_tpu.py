@@ -41,7 +41,8 @@ def main():
         opt["train"].pop("compute_dtype", None)
         print("full f32 step (compute_dtype removed)")
     if os.environ.get("SAMT_REMAT") is not None:
-        opt["train"]["remat"] = bool(int(os.environ["SAMT_REMAT"]))
+        v = os.environ["SAMT_REMAT"]
+        opt["train"]["remat"] = v if v == "selective" else bool(int(v))
         print(f"remat = {opt['train']['remat']}")
     trainer = Trainer(opt)
 
