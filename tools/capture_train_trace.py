@@ -38,6 +38,9 @@ def main():
     opt = parse(osp.join(ROOT, "options", "train.yml"), is_train=True)
     if os.environ.get("SAMT_TRAIN_F32"):
         opt["train"].pop("compute_dtype", None)
+    if os.environ.get("SAMT_REMAT") is not None:
+        v = os.environ["SAMT_REMAT"]
+        opt["train"]["remat"] = v if v == "selective" else bool(int(v))
     trainer = Trainer(opt)
 
     rng = np.random.RandomState(0)
