@@ -307,7 +307,8 @@ class Trainer:
         return state, vgg_params
 
     # ------------------------------------------------------------------
-    def _probe_d_weight(self, params_g, pre_final, gt, fake_stats_ctx):
+    def _probe_d_weight(self, params_g, pre_final, gt, fake_stats_ctx,
+                        gt_feats=None):
         """Adaptive GAN weight via grad probes on the final conv kernel
         (appmotioncomp_model.py:222-228, 325-345). `pre_final` is the
         activation entering the final RGB conv; gradients wrt other params
@@ -349,7 +350,15 @@ class Trainer:
             o = out_from(kern)
             r = 0.0
             if self.cri_perceptual is not None:
-                r = r + self.cri_perceptual(vgg_p, o, gt_c)
+                if gt_feats is not None:
+                    # share the per-step gt VGG pyramid (already cast +
+                    # stop_gradient'd) instead of recomputing it here —
+                    # the probe only needs grads wrt `kern`, and the
+                    # target branch contributes none
+                    r = r + self.cri_perceptual.from_target_feats(
+                        vgg_p, o, gt_feats)
+                else:
+                    r = r + self.cri_perceptual(vgg_p, o, gt_c)
             if self.cri_pix is not None:
                 r = r + self.cri_pix(o, gt_c)
             return r
@@ -485,6 +494,7 @@ class Trainer:
                         d_weight = self._probe_d_weight(
                             params_g, out["pre_final"], gt,
                             (state.params_d, state.stats_d),
+                            gt_feats=gt_feats,
                         )
                     else:
                         d_weight = jnp.asarray(1.0)
