@@ -44,7 +44,6 @@ class MultiheadAttention(nn.Module):
         fused attention kernel reads the single copy directly;
         key_padding_mask: (B, Lk) bool, True = exclude key."""
         E, H = self.embed_dim, self.num_heads
-        d = E // H
 
         wq = self.param("wq", _xavier_packed_init, (E, E))
         wk = self.param("wk", _xavier_packed_init, (E, E))
@@ -57,30 +56,23 @@ class MultiheadAttention(nn.Module):
         bo = self.param("out_proj_bias", nn.initializers.zeros, (E,))
 
         B, Lq, _ = q.shape
-        Lk = k.shape[-2]
         qp = q @ wq + b_in[:E]
         kp = k @ wk + b_in[E:2 * E]
         vp = v @ wv + b_in[2 * E:]
 
-        qp = qp.reshape(B, Lq, H, d).transpose(0, 2, 1, 3)
-        if k.ndim == 2:
-            kp = kp.reshape(1, Lk, H, d).transpose(0, 2, 1, 3)
-            vp = vp.reshape(1, Lk, H, d).transpose(0, 2, 1, 3)
-        else:
-            kp = kp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
-            vp = vp.reshape(B, Lk, H, d).transpose(0, 2, 1, 3)
-
-        # fused Pallas attention on TPU (keeps the (L, K) score tile in
-        # VMEM; all-masked rows -> 0, matching the nan_to_num guard the
-        # dense reference applies); dense jnp fallback elsewhere
-        from ..ops.fused_attention import fused_attention
+        # head-packed fused attention: heads are split/merged INSIDE the
+        # kernel via lane slices, so no (B, H, Lq, d) tensor ever hits
+        # HBM — with d = E/H as small as 4 (motion blocks) the head
+        # layout lane-pads 32x and cost ~18 ms of relayouts per 64-frame
+        # generation (docs/PERF.md §9.3). All-masked rows -> 0, matching
+        # the nan_to_num guard of the dense reference (CPU fallback).
+        from ..ops.fused_attention import fused_attention_packed
 
         bias = None
         if key_padding_mask is not None:
             bias = jnp.where(key_padding_mask, -1e30, 0.0).astype(
                 jnp.float32)
-        out = fused_attention(qp, kp, vp, bias)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        out = fused_attention_packed(qp, kp, vp, bias, num_heads=H)
         return out @ wo + bo
 
 

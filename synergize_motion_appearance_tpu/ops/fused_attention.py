@@ -194,3 +194,166 @@ def _bwd(res, g):
 
 
 fused_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head-packed variant: (B, L, E) in, (B, L, E) out — no (B, H, L, d)
+# intermediates. With d = E/H as small as 4 (motion transformer: E=32,
+# H=8), the head-split layout pads the lane dim 4 -> 128, i.e. 32x HBM
+# padding on q/k/v/out PLUS a relayout pass each way (traced at ~18 ms
+# per 64-frame generation). Here the heads never leave the kernel: each
+# grid program holds one batch row's (L, E) q tile and loops the static
+# head count, reading/writing lane slices [h*d:(h+1)*d] in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _dense_reference_packed(num_heads, q, k, v, bias):
+    """(B, L, E) layout reference: reshape to heads, run the dense
+    reference, merge back. k/v may be (K, E) for a batch-shared context."""
+    B, L, E = q.shape
+    d = E // num_heads
+    K = k.shape[-2]
+
+    def split(t):
+        if t.ndim == 2:
+            return t.reshape(1, K, num_heads, d).transpose(0, 2, 1, 3)
+        return t.reshape(t.shape[0], t.shape[1], num_heads, d)\
+                .transpose(0, 2, 1, 3)
+
+    out = _dense_reference(split(q), split(k), split(v), bias)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, E)
+
+
+def _attn_kernel_packed(scale: float, masked: bool, H: int, *refs):
+    """One batch row per program; static python loop over heads with
+    lane-slice reads/writes — same per-head math as `_attn_kernel`."""
+    if masked:
+        q_ref, k_ref, v_ref, bias_ref, out_ref = refs
+    else:
+        q_ref, k_ref, v_ref, out_ref = refs
+        bias_ref = None
+    q = q_ref[0]  # (L, E)
+    k = k_ref[0]  # (K, E)
+    v = v_ref[0]  # (K, E)
+    E = q.shape[-1]
+    d = E // H
+    for h in range(H):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32) * scale  # (L, K)
+        if bias_ref is not None:
+            scores = scores + bias_ref[0]  # (1, K) broadcasts over L
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        v1 = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), jnp.float32)], axis=-1)
+        num = jax.lax.dot_general(
+            p, v1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (L, d + 1)
+        out_h = num[:, :d] / num[:, d:]
+        if bias_ref is not None:
+            out_h = out_h * (m > -1e29).astype(jnp.float32)
+        out_ref[0, :, sl] = out_h.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _fused_attention_packed_pallas(num_heads, q, k, v, bias,
+                                   interpret=False):
+    B, L, E = q.shape
+    k3 = k[None] if k.ndim == 2 else k
+    v3 = v[None] if v.ndim == 2 else v
+    K = k3.shape[1]
+    scale = 1.0 / math.sqrt(E // num_heads)
+    masked = bias is not None
+    kernel = functools.partial(_attn_kernel_packed, scale, masked,
+                               num_heads)
+    kv_b = (lambda b: (b, 0, 0)) if k3.shape[0] == B \
+        else (lambda b: (0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, L, E), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, E), kv_b, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, E), kv_b, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k3, v3]
+    if masked:
+        in_specs.append(
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias.astype(jnp.float32).reshape(B, 1, K))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, E), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, E), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _within_envelope_packed(L, K, E):
+    # per program: one (L, K) f32 score tile + q/out (L, E) + k/v (K, E)
+    # (bf16/f32) + per-head f32 copies; lane-padded to >=128
+    ep = max(E, 128)
+    return (L * K * 4 + (2 * L + 2 * K) * ep * 4) < 12 * 2 ** 20
+
+
+def _fused_attention_packed_impl(num_heads, q, k, v, bias):
+    import os
+
+    B, L, E = q.shape
+    K = k.shape[-2]
+    if not _within_envelope_packed(L, K, E) \
+            or os.environ.get("SAMT_PORTABLE_ATTENTION") == "1":
+        return _dense_reference_packed(num_heads, q, k, v, bias)
+    kernel = functools.partial(_fused_attention_packed_pallas, num_heads)
+    dense = functools.partial(_dense_reference_packed, num_heads)
+    if bias is None:
+        return jax.lax.platform_dependent(
+            q, k, v,
+            tpu=lambda q_, k_, v_: kernel(q_, k_, v_, None),
+            default=lambda q_, k_, v_: dense(q_, k_, v_, None),
+        )
+    return jax.lax.platform_dependent(
+        q, k, v, bias, tpu=kernel, default=dense)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_attention_packed(num_heads, q, k, v, bias):
+    return _fused_attention_packed_impl(num_heads, q, k, v, bias)
+
+
+def _packed_fwd(num_heads, q, k, v, bias):
+    return _fused_attention_packed_impl(num_heads, q, k, v, bias), \
+        (q, k, v, bias)
+
+
+def _packed_bwd(num_heads, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _dense_reference_packed(num_heads, q_, k_, v_,
+                                                   bias),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def fused_attention_packed(q, k, v, bias=None, *, num_heads):
+    """Softmax attention in token-major layout. q: (B, L, E); k, v:
+    (B, K, E), or (K, E) to share one context across the batch (the
+    codebook — the kernel indexes block row 0); bias: optional (B, K)
+    additive mask. Returns (B, L, E) in q's dtype — heads are split,
+    attended, and merged entirely inside the kernel (no padded
+    (B, H, L, d) intermediates in HBM)."""
+    return _fused_attention_packed(num_heads, q, k, v, bias)
