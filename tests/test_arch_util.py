@@ -123,10 +123,15 @@ def test_trunc_normal_init_bounds():
     assert abs(float(w.std()) - 0.02) < 0.004
 
 
+@pytest.mark.slow
 def test_dcnv2_pack_zero_offset_is_half_conv():
     """With conv_offset zero-initialised, offsets are 0 and mask is
     sigmoid(0)=0.5, so the pack must equal 0.5*conv + bias (the same
-    property holds for the torch pack at init)."""
+    property holds for the torch pack at init).
+
+    Slow tier: DCN math parity vs torch is covered fast by
+    test_native_ops.py::test_deform_conv_parity; this is a secondary
+    behavioral check of the pack wrapper (13s of CPU compile)."""
     x = jnp.asarray(_rand(2, 7, 7, 8, seed=7))
     feat = jnp.asarray(_rand(2, 7, 7, 8, seed=8))
     pack = DCNv2Pack(features=12)
@@ -143,6 +148,7 @@ def test_dcnv2_pack_zero_offset_is_half_conv():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_modulated_pack_self_offsets():
     x = jnp.asarray(_rand(1, 6, 6, 4, seed=9))
     pack = ModulatedDeformConvPack(features=6)

@@ -2,6 +2,7 @@
 contraction, different schedule) — parity gate for the decoder hot-path
 swap (docs/PERF.md)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,10 @@ def test_conv3x3_variants_match_xla():
                                        err_msg=fn.__name__)
 
 
+@pytest.mark.slow
 def test_conv3x3_grad_matches_xla():
+    # slow tier: guards the study-only conv3x3 re-expressions
+    # (docs/PERF.md §3-4), which are NOT wired into the model
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
@@ -51,14 +55,13 @@ def test_conv3x3_grad_matches_xla():
                                    atol=2e-4, rtol=1e-4)
 
 
-import pytest
-
-
 @pytest.mark.parametrize(
     "cin,cout,k,s,p,hw",
     [
         (3, 16, 3, 1, 1, 16),   # stem, custom-vjp path
-        (3, 8, 4, 2, 1, 16),    # strided (autodiff path)
+        pytest.param(3, 8, 4, 2, 1, 16,    # strided (autodiff path);
+                     marks=pytest.mark.slow),  # 15s CPU compile — the
+        # production-default stride-1 custom-vjp case above stays fast
         pytest.param(16, 3, 3, 1, 1, 16,   # RGB head, custom-vjp path
                      marks=pytest.mark.slow),
         pytest.param(3, 5, 7, 1, 0, 16,    # kp 7x7 pad 0
