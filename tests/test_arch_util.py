@@ -150,6 +150,10 @@ def test_dcnv2_pack_zero_offset_is_half_conv():
 
 @pytest.mark.slow
 def test_modulated_pack_self_offsets():
+    """Slow tier: the underlying modulated deform math is covered fast by
+    test_native_ops.py::test_deform_conv_parity[2-True]; this is a
+    secondary shape/finiteness check of the self-offset pack wrapper
+    (compile-heavy on CPU)."""
     x = jnp.asarray(_rand(1, 6, 6, 4, seed=9))
     pack = ModulatedDeformConvPack(features=6)
     vars_ = pack.init(jax.random.PRNGKey(2), x)

@@ -59,9 +59,11 @@ def test_conv3x3_grad_matches_xla():
     "cin,cout,k,s,p,hw",
     [
         (3, 16, 3, 1, 1, 16),   # stem, custom-vjp path
-        pytest.param(3, 8, 4, 2, 1, 16,    # strided (autodiff path);
-                     marks=pytest.mark.slow),  # 15s CPU compile — the
-        # production-default stride-1 custom-vjp case above stays fast
+        # strided autodiff path — this is exactly the PatchGAN D conv0
+        # shape (models/vqgan.py VQGANDiscriminator, 3->ndf 4x4 s2 p1),
+        # which the production train graph routes through
+        # _ShiftMatmulConv's strided grad path; keep it in the fast tier.
+        (3, 8, 4, 2, 1, 16),
         pytest.param(16, 3, 3, 1, 1, 16,   # RGB head, custom-vjp path
                      marks=pytest.mark.slow),
         pytest.param(3, 5, 7, 1, 0, 16,    # kp 7x7 pad 0
