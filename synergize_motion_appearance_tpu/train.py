@@ -73,14 +73,21 @@ def main(argv=None):
     dataset = build_dataset(ds_opt)
     per_host_batch = int(ds_opt.get("batch_size_per_gpu", 4)) * \
         jax.local_device_count()
-    sampler = EnlargedSampler(
-        len(dataset), jax.process_count(), jax.process_index(),
-        ratio=int(ds_opt.get("dataset_enlarge_ratio", 1)),
-    )
-    loader = BatchLoader(
-        dataset, per_host_batch, sampler,
-        num_workers=int(ds_opt.get("num_worker_per_gpu", 4)),
-    )
+    if ds_opt.get("native_cache"):
+        # C++ framecache loader: mmapped decoded frames, sampling +
+        # aug + normalize in worker threads off the GIL (native/)
+        batches = _native_batches(ds_opt, per_host_batch, len(dataset),
+                                  seed, logger)
+    else:
+        sampler = EnlargedSampler(
+            len(dataset), jax.process_count(), jax.process_index(),
+            ratio=int(ds_opt.get("dataset_enlarge_ratio", 1)),
+        )
+        loader = BatchLoader(
+            dataset, per_host_batch, sampler,
+            num_workers=int(ds_opt.get("num_worker_per_gpu", 4)),
+        )
+        batches = infinite_batches(loader)
     logger.info(
         f"Dataset {ds_opt.get('name')}: {len(dataset)} videos, "
         f"{per_host_batch} samples/host/step, "
@@ -90,7 +97,6 @@ def main(argv=None):
     # ---- model / state ----
     trainer = Trainer(opt)
     mesh = create_mesh(("data",))
-    batches = infinite_batches(loader)
     epoch0, first_batch = next(batches)
     first_batch = shard_batch(first_batch, mesh)
     state, vgg_params = trainer.init_state(
@@ -157,6 +163,50 @@ def main(argv=None):
     logger.info("Training done.")
 
 
+def _native_batches(ds_opt, per_host_batch, n_videos, seed, logger):
+    """(epoch, batch) stream from the C++ framecache loader — the
+    native-path equivalent of infinite_batches(BatchLoader). Builds the
+    cache from the frame tree on first use. Epochs are derived from
+    consumed samples with the same EnlargedSampler virtual length
+    (n_videos × dataset_enlarge_ratio / world_size)."""
+    import subprocess
+    import sys as _sys
+
+    import jax
+
+    from .data.native_loader import NativeFrameCacheLoader
+
+    cache = ds_opt["native_cache"]
+    if not osp.exists(cache):
+        root = osp.join(ds_opt["root_dir"], "train")
+        if not osp.isdir(root):
+            root = ds_opt["root_dir"]
+        logger.info(f"Building framecache {cache} from {root} ...")
+        tool = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                        "tools", "build_framecache.py")
+        subprocess.run(
+            [_sys.executable, tool, "--root", root, "--dst", cache,
+             "--size", str(ds_opt.get("gt_size", 256))], check=True)
+    loader = NativeFrameCacheLoader(
+        cache, per_host_batch,
+        num_workers=int(ds_opt.get("num_worker_per_gpu", 4)),
+        seed=seed + jax.process_index(),
+        hflip=bool(ds_opt.get("use_hflip", True)),
+        time_flip=bool(ds_opt.get("use_time_flip", True)),
+    )
+    ratio = int(ds_opt.get("dataset_enlarge_ratio", 1))
+    epoch_len = max(
+        n_videos * ratio // (per_host_batch * jax.process_count()), 1)
+
+    def gen():
+        step = 0
+        while True:
+            yield step // epoch_len, loader.next()
+            step += 1
+
+    return gen()
+
+
 def _build_val_state(opt):
     """Lazy bundle for in-training validation (train.py:209-211 /
     nondist_validation, appmotioncomp_model.py:463-570). Returns None
@@ -182,15 +232,19 @@ def _build_val_state(opt):
 
 def _run_validation(opt, trainer, state, val_state, current_iter,
                     tb_logger, logger):
-    """EMA-params inference over the val set; PSNR/SSIM/L1 accumulation
-    on rank 0 (dist validation gating, appmotioncomp_model.py:458-460)."""
+    """EMA-params inference over the val set on rank 0 (dist validation
+    gating, appmotioncomp_model.py:458-460). Per-image PSNR/SSIM/L1
+    accumulate directly; directory-level metrics (fid, lpips — the native
+    on-TPU battery) score the saved result/gt PNG dirs exactly like the
+    reference's end-of-validation dispatch
+    (appmotioncomp_model.py:490-568)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from .metrics import calculate_metric
     from .parallel import is_master
-    from .utils.img_util import arr2img
+    from .utils.img_util import arr2img, imwrite
 
     if not is_master():
         return
@@ -208,8 +262,15 @@ def _run_validation(opt, trainer, state, val_state, current_iter,
     g_params = state.ema_g if state.ema_g is not None else state.params_g
     dataset = val_state["dataset"]
     metrics = val_state["metrics"]
+    dir_metrics = {m: o for m, o in metrics.items()
+                   if m in ("fid", "lpips", "akd", "aed", "id_similarity",
+                            "pose")}
     results = {m: 0.0 for m in metrics}
     n = min(len(dataset), val_state["max_items"])
+    vis_root = osp.join(opt["path"].get("visualization",
+                                        opt["path"]["log"]),
+                        f"val_{current_iter}")
+    res_dir, gt_dir = osp.join(vis_root, "result"), osp.join(vis_root, "gt")
     for idx in range(n):
         item = dataset[idx]
         out = np.asarray(val_state["fwd"](
@@ -219,18 +280,35 @@ def _run_validation(opt, trainer, state, val_state, current_iter,
         ))
         result_img = arr2img(out, rgb2bgr=True)
         gt_img = arr2img(item["driving"], rgb2bgr=True)
+        if dir_metrics:
+            imwrite(result_img, osp.join(res_dir, f"{idx:05d}.png"))
+            imwrite(gt_img, osp.join(gt_dir, f"{idx:05d}.png"))
         for mname, mopt in metrics.items():
             if mname in ("psnr", "ssim", "l1"):
                 results[mname] += calculate_metric(
                     dict(img1=result_img, img2=gt_img), mopt)
-    for mname in results:
+    for mname, mopt in dir_metrics.items():
+        mopt = dict(mopt)
+        mtype = mopt.get("type", f"calculate_{mname}")
+        try:
+            if mname == "fid":
+                data = dict(paths=[gt_dir, res_dir])
+            elif mname == "lpips":
+                data = dict(path1=res_dir, path2=gt_dir)
+            else:  # akd/aed/id_similarity/pose: (gt, generated) dirs
+                data = dict(path_gt=gt_dir, path_generated=res_dir)
+            results[mname] = calculate_metric(data, dict(mopt, type=mtype))
+        except RuntimeError as e:  # absent third-party weights/deps
+            logger.warning(f"Validation metric {mname} skipped: {e}")
+            results.pop(mname, None)
+    for mname in list(results):
         if mname in ("psnr", "ssim", "l1"):
             results[mname] /= max(n, 1)
-            logger.info(f"Validation @ {current_iter} # {mname}: "
-                        f"{results[mname]:.4f}")
-            if tb_logger is not None:
-                tb_logger.add_scalar(f"metrics/{mname}", results[mname],
-                                     current_iter)
+        logger.info(f"Validation @ {current_iter} # {mname}: "
+                    f"{results[mname]:.4f}")
+        if tb_logger is not None:
+            tb_logger.add_scalar(f"metrics/{mname}", results[mname],
+                                 current_iter)
     if tb_logger is not None:
         tb_logger.close()
 

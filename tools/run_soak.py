@@ -1,0 +1,219 @@
+"""Kill-and-resume training soak through the real train.py entry.
+
+Reference behavior under reproduction: crash recovery is resume_state
+checkpoints only (basicsr/train.py:124-129 loads the state pre-model;
+models/base_model.py:283-296 restores optimizers/schedulers). This soak
+proves the orbax path end-to-end on hardware:
+
+  1. launch `python -m synergize_motion_appearance_tpu.train -opt
+     options/train_soak.yml` (1000 steps, ckpt every 100, val every 250
+     with the native metric battery),
+  2. SIGKILL the process around step ~500 (no cleanup, like a
+     preemption),
+  3. relaunch the same command — train.py auto-resumes from the latest
+     training state — and let it finish,
+  4. assert from the two logs: the resume happened at a checkpointed
+     iter, the loss trajectory continues without a reset (post-resume
+     l_g_pix stays within the pre-kill envelope), the LR schedule
+     continues from the global step, and the final iter is 1000.
+
+Writes a summary to docs/SOAK.md.
+
+Usage (TPU): python tools/run_soak.py [--kill_after_iter 500]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import shutil
+import signal
+import subprocess
+import sys
+import time
+from os import path as osp
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+ITER_RE = re.compile(r"iter:\s*([0-9,]+)")
+LOSS_RE = re.compile(r"l_g_pix: ([0-9.eE+-]+)")
+
+
+def launch(log_path):
+    f = open(log_path, "ab")
+    return subprocess.Popen(
+        [sys.executable, "-m", "synergize_motion_appearance_tpu.train",
+         "-opt", "options/train_soak.yml"],
+        cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
+        env=dict(os.environ),
+    ), f
+
+
+def parse_iters(log_path):
+    """[(iter, l_g_pix)] from MessageLogger lines."""
+    out = []
+    if not osp.exists(log_path):
+        return out
+    for line in open(log_path, errors="replace"):
+        m = ITER_RE.search(line)
+        if not m:
+            continue
+        it = int(m.group(1).replace(",", ""))
+        lm = LOSS_RE.search(line)
+        out.append((it, float(lm.group(1)) if lm else None))
+    return out
+
+
+def ensure_metric_weights():
+    """The native FID/LPIPS battery needs backbone weights; the released
+    torch files aren't in this image (no egress), so the soak generates
+    deterministic random-init weights — the metrics then execute the
+    full on-TPU pipeline mechanically (their VALUES are not semantic;
+    swap in converted real weights via SAMT_WEIGHTS_DIR for scores)."""
+    wdir = os.environ.get("SAMT_WEIGHTS_DIR",
+                          osp.join(REPO, ".data", "metric_weights"))
+    os.environ["SAMT_WEIGHTS_DIR"] = wdir
+    os.makedirs(wdir, exist_ok=True)
+    inc, lp = osp.join(wdir, "inception.npz"), osp.join(wdir,
+                                                        "lpips_vgg.npz")
+    if osp.exists(inc) and osp.exists(lp):
+        return wdir
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from synergize_motion_appearance_tpu.metrics.external import (
+        flatten_params,
+    )
+    from synergize_motion_appearance_tpu.metrics.inception import (
+        FIDInceptionV3,
+    )
+    from synergize_motion_appearance_tpu.metrics.lpips_jax import LPIPSVgg
+
+    if not osp.exists(inc):
+        p = FIDInceptionV3().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]
+        np.savez(inc, **flatten_params(
+            jax.tree_util.tree_map(np.asarray, p)))
+    if not osp.exists(lp):
+        p = LPIPSVgg().init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)),
+                            jnp.zeros((1, 32, 32, 3)))["params"]
+        p = {k: (jnp.abs(v) if k.startswith("lin") else v)
+             for k, v in p.items()}
+        np.savez(lp, **flatten_params(
+            jax.tree_util.tree_map(np.asarray, p)))
+    return wdir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kill_after_iter", type=int, default=500)
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe the previous soak experiment dir")
+    args = ap.parse_args()
+
+    wdir = ensure_metric_weights()
+    print(f"metric weights: {wdir}")
+
+    exp = osp.join(REPO, "train_log", "synthdisk-soak")
+    if args.fresh and osp.isdir(exp):
+        shutil.rmtree(exp)
+    log1 = "/tmp/soak_phase1.log"
+    log2 = "/tmp/soak_phase2.log"
+    for p in (log1, log2):
+        if osp.exists(p):
+            os.remove(p)
+
+    # ---- phase 1: run until the kill point, then SIGKILL ----
+    proc, f = launch(log1)
+    print(f"phase 1 pid {proc.pid}; killing after iter "
+          f"{args.kill_after_iter}")
+    killed_at = None
+    while proc.poll() is None:
+        time.sleep(10)
+        iters = parse_iters(log1)
+        if iters and iters[-1][0] >= args.kill_after_iter:
+            killed_at = iters[-1][0]
+            os.kill(proc.pid, signal.SIGKILL)
+            proc.wait()
+            break
+    f.close()
+    assert killed_at is not None, "phase 1 exited before the kill point"
+    print(f"SIGKILLed at iter ~{killed_at}")
+
+    # ---- phase 2: relaunch; train.py resumes from latest state ----
+    proc, f = launch(log2)
+    print(f"phase 2 pid {proc.pid}; waiting for completion")
+    rc = proc.wait()
+    f.close()
+    assert rc == 0, f"phase 2 exited {rc} — see {log2}"
+
+    # ---- assertions ----
+    resume_line = [ln for ln in open(log2, errors="replace")
+                   if "Resumed from" in ln]
+    assert resume_line, "phase 2 did not resume from a checkpoint"
+    resume_iter = int(re.search(r"@ iter (\d+)", resume_line[0]).group(1))
+    assert resume_iter % 100 == 0 and resume_iter <= killed_at, resume_iter
+
+    it1 = parse_iters(log1)
+    it2 = parse_iters(log2)
+    assert it2[0][0] > resume_iter, (it2[0], resume_iter)
+    assert it2[-1][0] == 1000, it2[-1]
+
+    # trajectory continuity: mean l_g_pix just after resume within the
+    # envelope of the 100 iters before the kill (no re-init jump)
+    pre = [v for i, v in it1 if v is not None
+           and resume_iter - 100 <= i <= resume_iter]
+    post = [v for i, v in it2 if v is not None
+            and i <= resume_iter + 100]
+    import numpy as np
+
+    pre_m, post_m = float(np.mean(pre)), float(np.mean(post))
+    spread = max(float(np.std(pre)) * 4, 0.25 * abs(pre_m))
+    print(f"l_g_pix pre-kill mean {pre_m:.4f}, post-resume mean "
+          f"{post_m:.4f} (allowed ±{spread:.4f})")
+    assert abs(post_m - pre_m) <= spread, (pre_m, post_m)
+
+    # validation battery executed (phase 2 covers the 750-iter val; the
+    # metric lines carry at least psnr/l1, fid/lpips when weights exist)
+    val_lines = [ln.strip() for ln in open(log2, errors="replace")
+                 if "Validation @" in ln]
+    assert val_lines, "no validation ran in phase 2"
+
+    summary = f"""# Training soak: kill-and-resume through train.py (TPU)
+
+Protocol (VERDICT r2 item 6): `options/train_soak.yml` — 1000 steps of
+the flagship per-chip recipe (256², batch 8/chip, selective remat, bf16)
+on the disk-resident synthetic VoxCeleb tree, orbax checkpoint every
+100 iters, in-training validation every 250 iters. The first run was
+SIGKILLed (no cleanup) mid-training; the relaunch auto-resumed from the
+latest training state (reference semantics: train.py:124-129 +
+base_model.py:283-296).
+
+| item | value |
+|---|---|
+| SIGKILL at | iter ~{killed_at} |
+| resumed from | iter {resume_iter} (latest 100-aligned checkpoint) |
+| final iter | {it2[-1][0]} |
+| l_g_pix, 100 iters pre-kill (mean) | {pre_m:.4f} |
+| l_g_pix, 100 iters post-resume (mean) | {post_m:.4f} |
+| validation runs in phase 2 | {len(set(ln.split('#')[0] for ln in val_lines))} |
+
+Validation lines (phase 2):
+
+```
+{chr(10).join(val_lines[:12])}
+```
+
+Logs: /tmp/soak_phase1.log, /tmp/soak_phase2.log (run artifacts).
+"""
+    with open(osp.join(REPO, "docs", "SOAK.md"), "w") as fh:
+        fh.write(summary)
+    print("SOAK OK — docs/SOAK.md written")
+
+
+if __name__ == "__main__":
+    main()
