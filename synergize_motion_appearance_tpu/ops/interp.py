@@ -20,10 +20,12 @@ All tensors are NHWC; grids/flows are (B, H, W, 2) with (x, y) in [-1, 1].
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 
 # ---------------------------------------------------------------------------
@@ -49,8 +51,10 @@ def _reflect(x, lo, hi):
 
 def _warp_gather_plan(H, W, grid, align_corners, padding_mode):
     """Shared grid_sample sampling math: returns the flattened base-corner
-    gather indices (…,) s32 and the 4 per-pixel f32 slot weights
-    (a0..a3) for a corner-packed gather (see grid_sample below)."""
+    gather indices (…,) s32, the 4 per-pixel f32 slot weights (a0..a3)
+    for a corner-packed gather (see grid_sample below), and the clipped
+    base-corner integer coords (sy, sx) (the custom backward rebuilds the
+    roll-wrapped corner scatter indices from them)."""
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
 
@@ -118,7 +122,7 @@ def _warp_gather_plan(H, W, grid, align_corners, padding_mode):
     a1 = cx * (w01 + w11 * ncy)
     a2 = cy * (w10 + w11 * ncx)
     a3 = w11 * (cx * cy)
-    return flat, (a0, a1, a2, a3)
+    return flat, (a0, a1, a2, a3), (sy, sx)
 
 
 def _pack_corners(img):
@@ -136,15 +140,15 @@ def _pack_corners(img):
     return jnp.concatenate([img, rx, ry, rxy], axis=-1)
 
 
-def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
-    """Bilinear backward warp. img: (B,H,W,C); grid: (B,Hg,Wg,2) xy in [-1,1].
+def _gs_impl(img, grid, align_corners, padding_mode):
+    """Forward body shared by the reference path and the custom-VJP path.
 
-    Returns (B, Hg, Wg, C). Matches torch.nn.functional.grid_sample with
-    mode='bilinear' for padding_mode in {'zeros','border','reflection'}.
+    Returns (out, p) where p is the corner-packed gather (Bg, Hg, Wg, 4C)
+    — the only img-dependent intermediate the backward needs.
     """
     B, H, W, C = img.shape
     Bg = grid.shape[0]
-    flat, (a0, a1, a2, a3) = _warp_gather_plan(
+    flat, (a0, a1, a2, a3), _ = _warp_gather_plan(
         H, W, grid, align_corners, padding_mode)
     packed = _pack_corners(img)
 
@@ -158,6 +162,10 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
                                 flat.reshape(B, -1)[..., None], axis=1)
         p = p.reshape(B, *flat.shape[1:], 4 * C)
 
+    # the selective-remat policy (trainer.py) can keep the gather output
+    # resident so the backward does not re-pack + re-gather the image
+    p = _checkpoint_name(p, "warp_corners")
+
     # coordinates/weights are computed in f32 (pixel positions need the
     # mantissa), but the 4-corner blend runs in the image dtype so bf16
     # graphs stay bf16 (weights are in [0,1]; bf16 blend error ~0.4%)
@@ -168,7 +176,111 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
 
     out = (p[..., 0:C] * a0 + p[..., C:2 * C] * a1
            + p[..., 2 * C:3 * C] * a2 + p[..., 3 * C:] * a3)
-    return out.astype(img.dtype)
+    return out.astype(img.dtype), p
+
+
+def _grid_sample_ref(img, grid, align_corners=True, padding_mode="zeros"):
+    """Plain-autodiff grid_sample (XLA differentiates the gather into a
+    scatter over the 4C-packed tensor + the roll backward). Kept as the
+    numerics oracle for the custom VJP and as the SAMT_WARP_VJP=0
+    fallback."""
+    return _gs_impl(img, grid, align_corners, padding_mode)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gs_cv(img_shape, align_corners, padding_mode, img, grid):
+    return _gs_impl(img, grid, align_corners, padding_mode)[0]
+
+
+def _gs_cv_fwd(img_shape, align_corners, padding_mode, img, grid):
+    out, p = _gs_impl(img, grid, align_corners, padding_mode)
+    return out, (p, grid)
+
+
+def _gs_cv_bwd(img_shape, align_corners, padding_mode, res, g):
+    """Byte-lean warp backward (docs/PERF.md §14).
+
+    XLA's autodiff of the packed gather scatter-adds the (Bg, N, 4C)
+    cotangent into a d_packed the size of 4 images and then runs the
+    roll backward over it (measured 28 GB/s effective on the random
+    half — PERF.md §11b, fusion.130). Here the 4 corner cotangents
+    scatter-add DIRECTLY into the (B, H*W, C) image gradient (4 rows of
+    C instead of 1 row of 4C plus a 4-slot dense reduction), d_packed
+    is never materialized, and the saved corner gather p (residual,
+    remat-name "warp_corners") supplies both d_grid and the blend
+    backward without re-packing + re-gathering the image.
+    """
+    p, grid = res
+    B, H, W, C = img_shape
+    Bg = grid.shape[0]
+
+    def weights_of(grid_):
+        flat, aws, (sy, sx) = _warp_gather_plan(
+            H, W, grid_, align_corners, padding_mode)
+        return jnp.stack(aws, axis=-1), (flat, sy, sx)
+
+    aws, pull, (flat, sy, sx) = jax.vjp(weights_of, grid, has_aux=True)
+
+    bd = p.dtype
+    gc = g.astype(bd)
+    pr = p.reshape(*g.shape[:-1], 4, C)
+
+    # d_a_k = <g, p_k>_C, accumulated in f32 (free on the reduce; beats
+    # the plain-autodiff bf16 reduce before the pixel-scale (~W/2)
+    # amplification in d_grid)
+    d_aws = jnp.einsum("...c,...kc->...k", gc, pr,
+                       preferred_element_type=jnp.float32)
+    d_grid = pull(d_aws.astype(jnp.float32))[0]
+
+    # d_p_k = a_k * g, scattered at the roll-wrapped corner positions
+    # (wrapped corners carry exactly-zero a_k, so their adds are zeros —
+    # same contract as the forward's _pack_corners)
+    d_p = aws.astype(bd)[..., None] * gc[..., None, :]   # (..., 4, C)
+    sx1 = (sx + 1) % W
+    sy1 = (sy + 1) % H
+    idx = jnp.stack([flat, sy * W + sx1, sy1 * W + sx, sy1 * W + sx1],
+                    axis=-1)                              # (..., 4)
+    idx = idx.reshape(Bg, -1)                             # (Bg, 4N)
+    upd = d_p.reshape(Bg, -1, C)                          # (Bg, 4N, C)
+
+    if B == 1 and Bg > 1:
+        d_img = jnp.zeros((H * W, C), bd).at[idx.reshape(-1)].add(
+            upd.reshape(-1, C)).reshape(1, H, W, C)
+    else:
+        d_img = jax.vmap(
+            lambda i, u: jnp.zeros((H * W, C), bd).at[i].add(u)
+        )(idx, upd).reshape(B, H, W, C)
+    return d_img, d_grid
+
+
+_gs_cv.defvjp(_gs_cv_fwd, _gs_cv_bwd)
+
+# MEASURED VERDICT (docs/PERF.md §14): the direct-scatter custom VJP is
+# ~6% SLOWER per b8 train step than XLA's autodiff (chained 604 vs
+# 567 ms/step, same day). The direct form scatters 4N rows of C lanes
+# (C=64: half a vreg -> ~16x (8,128)-tile write amplification) where
+# autodiff scatters N rows of 4C (512 B, ~8x) plus a dense roll-reduce
+# at stream bandwidth — the packed formulation is byte-minimal for
+# data-dependent row scatter on this layout. Kept opt-in for future
+# hardware/layouts; gradients proven equal (tests/test_warp_vjp.py).
+_WARP_VJP = os.environ.get("SAMT_WARP_VJP", "0") == "1"
+
+
+def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
+    """Bilinear backward warp. img: (B,H,W,C); grid: (B,Hg,Wg,2) xy in [-1,1].
+
+    Returns (B, Hg, Wg, C). Matches torch.nn.functional.grid_sample with
+    mode='bilinear' for padding_mode in {'zeros','border','reflection'}.
+
+    Differentiable w.r.t. both img and grid via plain autodiff (XLA's
+    packed-gather backward — the measured-fastest form, PERF.md §14).
+    SAMT_WARP_VJP=1 switches to the direct-scatter custom VJP
+    (_gs_cv_bwd) — numerically equivalent, slower on v5e.
+    """
+    if not _WARP_VJP:
+        return _grid_sample_ref(img, grid, align_corners, padding_mode)
+    return _gs_cv(tuple(img.shape), bool(align_corners),
+                  str(padding_mode), img, grid)
 
 
 def grid_sample_grouped(img, grids, align_corners=False,
@@ -191,7 +303,7 @@ def grid_sample_grouped(img, grids, align_corners=False,
     B, K, Hg, Wg, _ = grids.shape
     _, H, W, C = img.shape
     N = Hg * Wg
-    flat, aws = _warp_gather_plan(
+    flat, aws, _ = _warp_gather_plan(
         H, W, grids.reshape(B * K, Hg, Wg, 2), align_corners, padding_mode)
     packed = _pack_corners(img)
 

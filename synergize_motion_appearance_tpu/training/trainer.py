@@ -23,6 +23,7 @@ TPU-native design (SURVEY.md section 7):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -248,8 +249,16 @@ class Trainer:
         self.remat = r if r == "selective" else bool(r)
         self.remat_policy = None
         if self.remat == "selective":
+            # "warp_corners" keeps the packed corner gathers resident so
+            # the warp backward reuses them instead of re-packing +
+            # re-gathering the skip features (b8 chained step 567 vs
+            # 588 ms — docs/PERF.md §14). SAMT_WARP_RESIDENT=0 reverts
+            # (isolation experiments).
+            names = ["conv_out", "dense_out"]
+            if os.environ.get("SAMT_WARP_RESIDENT", "1") != "0":
+                names.append("warp_corners")
             self.remat_policy = jax.checkpoint_policies.save_only_these_names(
-                "conv_out", "dense_out")
+                *names)
         # opt-in mixed precision: run the generator forward and the VGG
         # pyramid loss in bf16 (f32 master params/optimizer/losses; the
         # cast is inside the grad so gradients land in f32). Motion
