@@ -25,6 +25,7 @@ given as resolution strings ('64') exactly like the reference YAML.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,7 +41,16 @@ from ..ops import (
     resize_tap_plan,
     tap_reduce,
 )
-from .layers import Conv2d, Dense, GroupNorm32, leaky_relu
+from .layers import (
+    Conv2d,
+    Dense,
+    GroupNorm32,
+    from_wl,
+    leaky_relu,
+    to_wl,
+    wl_active,
+    wl_layout,
+)
 from .transformer import TransformerLayer
 from .vqgan import (
     AttnBlock,
@@ -171,8 +181,9 @@ class FuseSftBlock(nn.Module):
 
     @nn.compact
     def __call__(self, enc_feat, dec_feat, w=1.0):
+        cat_axis = 2 if wl_active() else -1
         enc = VQGANResBlock(self.out_ch, name="encode_enc")(
-            jnp.concatenate([enc_feat, dec_feat], axis=-1)
+            jnp.concatenate([enc_feat, dec_feat], axis=cat_axis)
         )
         scale = Conv2d(self.out_ch, (3, 3), padding=1, name="scale1")(enc)
         scale = leaky_relu(scale, 0.2)
@@ -248,6 +259,19 @@ class AppMotionCompFormer(nn.Module):
     wo_app_cdbk_share: bool = False
     connect_list: Optional[Sequence[Any]] = None
     connect_app_list: Optional[Sequence[Any]] = None
+    # W-in-lanes decoder layout at inference (docs/PERF.md §15):
+    # None = auto (on when the backend is TPU), True/False = force.
+    # Env SAMT_WL_DECODER=0/1 overrides. Training always stays NHWC
+    # (the Pallas conv kernel is forward-only).
+    wl_decoder: Optional[bool] = None
+
+    def _wl_enabled(self) -> bool:
+        env = os.environ.get("SAMT_WL_DECODER")
+        if env is not None:
+            return env != "0"
+        if self.wl_decoder is not None:
+            return bool(self.wl_decoder)
+        return jax.default_backend() == "tpu"
 
     # ---------------- derived static config ----------------
 
@@ -776,13 +800,32 @@ class AppMotionCompFormer(nn.Module):
         gen_tap_idx = {self.gen_taps[r]: r for r in connect}
         max_app_res = max(self.connect_app)
 
+        # W-in-lanes decoder region (docs/PERF.md §15): at inference on
+        # TPU, blocks operating at >=128² run with activations laid out
+        # (B, H, C, W) so their 3x3 convs hit the shuffle-free Pallas
+        # kernel. Entry is fused into the first qualifying Upsample
+        # (transpose at the SMALL pre-upsample size); exit happens before
+        # the final RGB conv. Everything outside block/fuse calls (warps,
+        # occlusion, codebook compensation) stays NHWC.
+        use_wl = inference and self._wl_enabled()
+        in_wl = False
+
         pre_final = None
         for i, block in enumerate(self.generator_blocks):
+            if use_wl and not in_wl and isinstance(block, Upsample) \
+                    and ((xg.shape[2] * 2) % 128 == 0
+                         or jax.default_backend() != "tpu"):
+                xg = to_wl(xg)
+                in_wl = True
             if i == len(self.generator_blocks) - 1:
+                if in_wl:
+                    xg = from_wl(xg)
+                    in_wl = False
                 # activation entering the final RGB conv — used by the
                 # adaptive GAN weight (appmotioncomp_model.py:222-228, 334)
                 pre_final = xg
-            xg = block(xg)
+            with wl_layout(in_wl):
+                xg = block(xg)
             if x_lr is not None:
                 x_lr = block(x_lr)
             if i in gen_tap_idx:
@@ -812,10 +855,14 @@ class AppMotionCompFormer(nn.Module):
                         enc_feat_warped, m_com
                     )
                     app_comp_list.append(enc_feat_warped)
-                if self.multiscale_sft:
-                    xg = self.fuse_convs_dict[f_res](enc_feat_warped, xg, w)
-                if self.multiscale_feature_fusion:
-                    xg = xg + self.fuse_ms_dict[f_res](enc_feat_warped)
+                if in_wl:
+                    enc_feat_warped = to_wl(enc_feat_warped)
+                with wl_layout(in_wl):
+                    if self.multiscale_sft:
+                        xg = self.fuse_convs_dict[f_res](
+                            enc_feat_warped, xg, w)
+                    if self.multiscale_feature_fusion:
+                        xg = xg + self.fuse_ms_dict[f_res](enc_feat_warped)
 
         out = {
             "out": xg,

@@ -197,6 +197,86 @@ class _ShiftMatmulConv(nn.Module):
         return y
 
 
+class _WLConv(nn.Module):
+    """Conv applied to a (B, H, C, W) W-in-lanes activation.
+
+    3x3/stride-1/pad-1 convs run the shuffle-free Pallas kernel
+    (ops/pallas_conv_wl.py — measured 1.6x XLA's conv at the decoder's
+    256²xC64 shape, docs/PERF.md §15); 1x1 convs are a sublane-dim
+    einsum; anything else transposes to NHWC, runs lax.conv, and
+    transposes back. Param names/shapes are identical to nn.Conv
+    ("kernel" (kh,kw,in,out) + "bias"), so checkpoints are
+    interchangeable with the NHWC graph.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    groups: int
+    use_bias: bool
+    dtype: Any
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_conv_wl import conv3x3_wl
+
+        kh, kw = self.kernel_size
+        B, H, C, W = x.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, C // self.groups, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        interp = jax.default_backend() != "tpu"
+        pad = tuple(tuple(p) for p in self.padding)
+
+        if ((kh, kw) == (3, 3) and self.strides == (1, 1)
+                and pad == ((1, 1), (1, 1)) and self.groups == 1
+                and (interp or (W % 128 == 0 and H % 8 == 0))):
+            # largest block_rows whose VMEM footprint stays inside the
+            # 16 MB scoped budget: halo'd input scratch (single) plus
+            # the pipelined (double-buffered) output block and weight/
+            # bias operands, with ~6 MB slack for stack/semaphores —
+            # big-C f32 shapes (e.g. the 128² fuse conv at C=256) OOM
+            # at br=32 otherwise (measured, PERF.md §15)
+            item = x.dtype.itemsize
+            def _fits(b):
+                scratch = (b + 2) * C * (2 * 128 + W) * item
+                outb = b * self.features * W * item
+                wts = 3 * self.features * 3 * C * item
+                # measured overhead above this model is ~2.5 MB (stack,
+                # semaphores, halo DMA staging) — 12.25 MB keeps the
+                # worst observed case at ~14.8 of the 16 MB budget
+                return scratch + 2 * (outb + wts) < 12544 * 1024
+            br = next((b for b in (32, 16, 8, 4, 2, 1)
+                       if H % b == 0 and _fits(b)), None)
+        else:
+            br = None
+
+        if br is not None:
+            y = conv3x3_wl(x, kernel,
+                           bias if bias is not None else None,
+                           block_rows=br, interpret=interp)
+        elif ((kh, kw) == (1, 1) and self.strides == (1, 1)
+              and pad == ((0, 0), (0, 0)) and self.groups == 1):
+            y = jnp.einsum("bhcw,co->bhow", x, kernel[0, 0])
+            if bias is not None:
+                y = y + bias[:, None]
+        else:
+            y = jax.lax.conv_general_dilated(
+                from_wl(x), kernel, self.strides, pad,
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if bias is not None:
+                y = y + bias
+            y = to_wl(y)
+        return y
+
+
 # Channel-count threshold below which the conv emitters are pathological
 # (bf16 lane tile 128: minor dims this small tile-pad >=16x). Overridable
 # for perf experiments (tools/bench_conv_b2.py): raising it routes
@@ -223,6 +303,39 @@ def cout_shift_convs(enable: bool = True):
         _COUT_SHIFT.reset(tok)
 
 
+# Trace-scoped W-in-lanes activation layout (docs/PERF.md §4/§15): inside
+# a `wl_layout()` scope, layout-aware modules (Conv2d, GroupNorm32, the
+# vqgan decoder blocks) treat activations as (B, H, C, W) — W in lanes,
+# C in sublanes — so 3x3 convs run on the shuffle-free Pallas kernel
+# (ops/pallas_conv_wl.py). Param trees are identical either way.
+_WL_LAYOUT = contextvars.ContextVar("samt_wl_layout", default=False)
+
+
+def wl_active() -> bool:
+    """True while tracing inside a wl_layout() scope."""
+    return _WL_LAYOUT.get()
+
+
+@contextlib.contextmanager
+def wl_layout(enable: bool = True):
+    """Scope (around a jit TRACE) in which activations are (B, H, C, W)."""
+    tok = _WL_LAYOUT.set(enable)
+    try:
+        yield
+    finally:
+        _WL_LAYOUT.reset(tok)
+
+
+def to_wl(x):
+    """(B, H, W, C) -> (B, H, C, W)."""
+    return jnp.swapaxes(x, 2, 3)
+
+
+def from_wl(x):
+    """(B, H, C, W) -> (B, H, W, C)."""
+    return jnp.swapaxes(x, 2, 3)
+
+
 class Conv2d(nn.Module):
     """nn.Conv with torch-default init and torch padding semantics."""
 
@@ -238,6 +351,8 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if _WL_LAYOUT.get():
+            return self._call_wl(x)
         in_ch = x.shape[-1]
         kh, kw = self.kernel_size
         pad = self.padding
@@ -287,6 +402,28 @@ class Conv2d(nn.Module):
         # "selective"): jax.checkpoint(policy=save_only_these_names)
         # keeps conv outputs resident and recomputes only the cheap
         # elementwise/norm ops between them. No-op outside jax.checkpoint.
+        return _checkpoint_name(y, "conv_out")
+
+    def _call_wl(self, x):
+        """W-in-lanes layout: x is (B, H, C, W); see wl_layout()."""
+        in_ch = x.shape[2]
+        kh, kw = self.kernel_size
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        fan_in = kh * kw * in_ch // self.groups
+        y = _WLConv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=tuple(self.strides),
+            padding=pad,
+            groups=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_conv_kernel_init,
+            bias_init=self.bias_init or torch_bias_init(fan_in),
+            dtype=self.dtype,
+            name="Conv_0",
+        )(x)
         return _checkpoint_name(y, "conv_out")
 
 
@@ -420,10 +557,27 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        wl = _WL_LAYOUT.get()
+        c = x.shape[2] if wl else x.shape[-1]
         groups = 32 if c % 32 == 0 else math.gcd(c, 32)
         scale, bias = _AffineParams(c, name="GroupNorm_0")()
         b = x.shape[0]
+        if wl:
+            # (B, H, C, W): group stats over (H, C-in-group, W), affine
+            # broadcast over (1, C, 1)
+            B_, H_, _, W_ = x.shape
+            xg = x.astype(jnp.float32).reshape(
+                b, H_, groups, c // groups, W_)
+            mean = jnp.mean(xg, axis=(1, 3, 4))
+            var = jnp.mean(jnp.square(xg), axis=(1, 3, 4)) - jnp.square(mean)
+            rstd = jax.lax.rsqrt(var + self.epsilon)      # (b, groups) f32
+            a = jnp.repeat(rstd, c // groups, axis=-1) * scale[
+                None, :].astype(jnp.float32)
+            t = bias[None, :].astype(jnp.float32) - jnp.repeat(
+                mean, c // groups, axis=-1) * a
+            bshape = (b, 1, c, 1)
+            return x * a.reshape(bshape).astype(x.dtype) + t.reshape(
+                bshape).astype(x.dtype)
         xg = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
         mean = jnp.mean(xg, axis=(1, 3))
         var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)

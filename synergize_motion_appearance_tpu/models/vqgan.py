@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import upsample_nearest, vq_quantize
-from .layers import Conv2d, GroupNorm32, swish, leaky_relu
+from .layers import Conv2d, GroupNorm32, swish, leaky_relu, wl_active
 
 
 class VQGANResBlock(nn.Module):
@@ -32,7 +32,8 @@ class VQGANResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x_in):
-        in_channels = x_in.shape[-1]
+        # channel axis is 2 inside a wl_layout() scope ((B, H, C, W))
+        in_channels = x_in.shape[2 if wl_active() else -1]
         x = GroupNorm32(name="norm1")(x_in)
         x = swish(x)
         x = Conv2d(self.out_channels, (3, 3), padding=1, name="conv1")(x)
@@ -81,8 +82,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
-        x = upsample_nearest(x, 2)
+        if wl_active():
+            C = x.shape[2]
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=3)
+        else:
+            C = x.shape[-1]
+            x = upsample_nearest(x, 2)
         return Conv2d(C, (3, 3), padding=1, name="conv")(x)
 
 
