@@ -35,7 +35,10 @@ from os import path as osp
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
-ITER_RE = re.compile(r"iter:\s*([0-9,]+)")
+# Anchored to the MessageLogger training line ("[epoch: E, iter: N,
+# lr:(...)]") — a bare `iter:` also matches the config echo
+# ("total_iter: 1000"), which once SIGKILLed phase 1 during startup.
+ITER_RE = re.compile(r"iter:\s*([0-9,]+), lr:")
 LOSS_RE = re.compile(r"l_g_pix: ([0-9.eE+-]+)")
 
 
@@ -45,7 +48,7 @@ def launch(log_path):
         [sys.executable, "-m", "synergize_motion_appearance_tpu.train",
          "-opt", "options/train_soak.yml"],
         cwd=REPO, stdout=f, stderr=subprocess.STDOUT,
-        env=dict(os.environ),
+        env=dict(os.environ, PYTHONUNBUFFERED="1"),
     ), f
 
 
