@@ -52,7 +52,8 @@ def restore_checkpoint(path: str, target_state: TrainState
     """Restore into the structure of `target_state` (shape-checked like
     the reference's strict load, base_model.py:202-234)."""
     restored = _ckptr().restore(
-        path, item={"state": jax.device_get(target_state), "epoch": 0}
+        osp.abspath(path),  # orbax rejects relative paths
+        item={"state": jax.device_get(target_state), "epoch": 0},
     )
     return restored["state"], int(restored["epoch"])
 

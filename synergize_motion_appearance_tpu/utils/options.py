@@ -60,7 +60,9 @@ def parse(opt_path: str, is_train: bool = True,
     path_opt = opt.setdefault("path", {})
     save_root = path_opt.get("save_path", "./experiments")
     if path_opt.get("resume_state"):
-        # reuse the experiment dir of the resumed run (options.py:49-53)
+        # reuse the experiment dir of the resumed run (options.py:49-53);
+        # absolute because the orbax restore layer requires absolute paths
+        path_opt["resume_state"] = osp.abspath(path_opt["resume_state"])
         experiments_root = osp.dirname(osp.dirname(path_opt["resume_state"]))
         opt["name"] = osp.basename(experiments_root)
     else:

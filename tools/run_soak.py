@@ -116,6 +116,10 @@ def main():
     ap.add_argument("--kill_after_iter", type=int, default=500)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the previous soak experiment dir")
+    ap.add_argument("--skip_phase1", action="store_true",
+                    help="reuse an existing phase-1 log + checkpoint tree "
+                         "(e.g. after fixing a phase-2-only bug) and only "
+                         "run the resume leg")
     args = ap.parse_args()
 
     wdir = ensure_metric_weights()
@@ -126,26 +130,34 @@ def main():
         shutil.rmtree(exp)
     log1 = "/tmp/soak_phase1.log"
     log2 = "/tmp/soak_phase2.log"
-    for p in (log1, log2):
+    for p in ((log2,) if args.skip_phase1 else (log1, log2)):
         if osp.exists(p):
             os.remove(p)
 
-    # ---- phase 1: run until the kill point, then SIGKILL ----
-    proc, f = launch(log1)
-    print(f"phase 1 pid {proc.pid}; killing after iter "
-          f"{args.kill_after_iter}")
-    killed_at = None
-    while proc.poll() is None:
-        time.sleep(10)
+    if args.skip_phase1:
         iters = parse_iters(log1)
-        if iters and iters[-1][0] >= args.kill_after_iter:
-            killed_at = iters[-1][0]
-            os.kill(proc.pid, signal.SIGKILL)
-            proc.wait()
-            break
-    f.close()
-    assert killed_at is not None, "phase 1 exited before the kill point"
-    print(f"SIGKILLed at iter ~{killed_at}")
+        assert iters and iters[-1][0] >= args.kill_after_iter, \
+            "no reusable phase-1 log at the kill point"
+        killed_at = iters[-1][0]
+        print(f"phase 1 reused from {log1}; was killed at ~{killed_at}")
+    else:
+        # ---- phase 1: run until the kill point, then SIGKILL ----
+        proc, f = launch(log1)
+        print(f"phase 1 pid {proc.pid}; killing after iter "
+              f"{args.kill_after_iter}")
+        killed_at = None
+        while proc.poll() is None:
+            time.sleep(10)
+            iters = parse_iters(log1)
+            if iters and iters[-1][0] >= args.kill_after_iter:
+                killed_at = iters[-1][0]
+                os.kill(proc.pid, signal.SIGKILL)
+                proc.wait()
+                break
+        f.close()
+        assert killed_at is not None, \
+            "phase 1 exited before the kill point"
+        print(f"SIGKILLed at iter ~{killed_at}")
 
     # ---- phase 2: relaunch; train.py resumes from latest state ----
     proc, f = launch(log2)
