@@ -261,9 +261,12 @@ class AppMotionCompFormer(nn.Module):
     connect_app_list: Optional[Sequence[Any]] = None
     # W-in-lanes decoder layout at inference (docs/PERF.md §15):
     # None = auto (on when the backend is TPU), True/False = force.
-    # Env SAMT_WL_DECODER=0/1 overrides. Training always stays NHWC
-    # (the Pallas conv kernel is forward-only).
+    # Env SAMT_WL_DECODER=0/1 overrides. Training stays NHWC unless
+    # SAMT_WL_TRAIN=1 / wl_train=True opts the train graph in (the
+    # conv3x3_wl_ad custom VJP makes the kernel differentiable;
+    # measured verdict in docs/PERF.md).
     wl_decoder: Optional[bool] = None
+    wl_train: bool = False
 
     def _wl_enabled(self) -> bool:
         env = os.environ.get("SAMT_WL_DECODER")
@@ -272,6 +275,12 @@ class AppMotionCompFormer(nn.Module):
         if self.wl_decoder is not None:
             return bool(self.wl_decoder)
         return jax.default_backend() == "tpu"
+
+    def _wl_train_enabled(self) -> bool:
+        env = os.environ.get("SAMT_WL_TRAIN")
+        if env is not None:
+            return env != "0"
+        return bool(self.wl_train)
 
     # ---------------- derived static config ----------------
 
@@ -807,7 +816,8 @@ class AppMotionCompFormer(nn.Module):
         # (transpose at the SMALL pre-upsample size); exit happens before
         # the final RGB conv. Everything outside block/fuse calls (warps,
         # occlusion, codebook compensation) stays NHWC.
-        use_wl = inference and self._wl_enabled()
+        use_wl = self._wl_enabled() and (inference
+                                         or self._wl_train_enabled())
         in_wl = False
 
         pre_final = None

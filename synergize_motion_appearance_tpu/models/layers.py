@@ -221,7 +221,7 @@ class _WLConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.pallas_conv_wl import conv3x3_wl
+        from ..ops.pallas_conv_wl import conv3x3_wl_ad, pick_block_rows
 
         kh, kw = self.kernel_size
         B, H, C, W = x.shape
@@ -237,30 +237,22 @@ class _WLConv(nn.Module):
         if ((kh, kw) == (3, 3) and self.strides == (1, 1)
                 and pad == ((1, 1), (1, 1)) and self.groups == 1
                 and (interp or (W % 128 == 0 and H % 8 == 0))):
-            # largest block_rows whose VMEM footprint stays inside the
-            # 16 MB scoped budget: halo'd input scratch (single) plus
-            # the pipelined (double-buffered) output block and weight/
-            # bias operands, with ~6 MB slack for stack/semaphores —
-            # big-C f32 shapes (e.g. the 128² fuse conv at C=256) OOM
-            # at br=32 otherwise (measured, PERF.md §15)
-            item = x.dtype.itemsize
-            def _fits(b):
-                scratch = (b + 2) * C * (2 * 128 + W) * item
-                outb = b * self.features * W * item
-                wts = 3 * self.features * 3 * C * item
-                # measured overhead above this model is ~2.5 MB (stack,
-                # semaphores, halo DMA staging) — 12.25 MB keeps the
-                # worst observed case at ~14.8 of the 16 MB budget
-                return scratch + 2 * (outb + wts) < 12544 * 1024
-            br = next((b for b in (32, 16, 8, 4, 2, 1)
-                       if H % b == 0 and _fits(b)), None)
+            # VMEM-model block_rows choice (big-C f32 shapes, e.g. the
+            # 128² fuse conv at C=256, OOM the 16 MB scoped budget at
+            # br=32 otherwise — measured, PERF.md §15)
+            br = pick_block_rows(H, W, C, self.features,
+                                 x.dtype.itemsize)
         else:
             br = None
 
         if br is not None:
-            y = conv3x3_wl(x, kernel,
-                           bias if bias is not None else None,
-                           block_rows=br, interpret=interp)
+            # the _ad wrapper carries the custom VJP (dgrad on the same
+            # Pallas kernel, wgrad as 9 MXU contractions) so the WL
+            # layout is usable inside the train graph too
+            y = conv3x3_wl_ad(
+                br, interp, x, kernel,
+                bias if bias is not None
+                else jnp.zeros((self.features,), x.dtype))
         elif ((kh, kw) == (1, 1) and self.strides == (1, 1)
               and pad == ((0, 0), (0, 0)) and self.groups == 1):
             y = jnp.einsum("bhcw,co->bhow", x, kernel[0, 0])

@@ -102,6 +102,22 @@ def _conv_wl_kernel(x_hbm, w_ref, b_ref, o_ref, xb, sem, *,
             o_ref.dtype)
 
 
+def pick_block_rows(H: int, W: int, C: int, Cout: int, itemsize: int):
+    """Largest block_rows whose VMEM footprint stays inside the 16 MB
+    scoped budget: halo'd input scratch (single-buffered) plus the
+    pipelined (double-buffered) output block and weight/bias operands,
+    with ~2.5 MB measured overhead (stack, semaphores, halo DMA
+    staging) — 12.25 MB keeps the worst observed case at ~14.8 of the
+    16 MB budget (PERF.md §15). Returns None if nothing fits."""
+    def _fits(b):
+        scratch = (b + 2) * C * (2 * _LPAD + W) * itemsize
+        outb = b * Cout * W * itemsize
+        wts = 3 * Cout * 3 * C * itemsize
+        return scratch + 2 * (outb + wts) < 12544 * 1024
+    return next((b for b in (32, 16, 8, 4, 2, 1)
+                 if H % b == 0 and _fits(b)), None)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "interpret"))
 def conv3x3_wl(x, w, b=None, block_rows: int = 8, interpret: bool = False):
@@ -139,3 +155,55 @@ def conv3x3_wl(x, w, b=None, block_rows: int = 8, interpret: bool = False):
         ],
         interpret=interpret,
     )(x, w3, b2)
+
+
+# ---------------------------------------------------------------------
+# Differentiable wrapper — lets the WL layout run inside the TRAIN graph
+# (the raw pallas_call has no autodiff rule). The input gradient of a
+# stride-1/pad-1 3x3 conv is the SAME conv applied to the cotangent with
+# 180°-rotated, IO-transposed weights, so dgrad reuses the shuffle-free
+# kernel; the weight gradient is 9 lane-shifted MXU contractions over
+# (B·H·W) in f32 (XLA); the bias gradient is a sum. Reference
+# counterpart: torch autograd of nn.Conv2d in the decoder blocks
+# (vqgan_arch.py:168-191) — execution strategy only.
+# ---------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv3x3_wl_ad(block_rows, interpret, x, w, b):
+    return conv3x3_wl(x, w, b, block_rows=block_rows, interpret=interpret)
+
+
+def _wl_ad_fwd(block_rows, interpret, x, w, b):
+    y = conv3x3_wl(x, w, b, block_rows=block_rows, interpret=interpret)
+    return y, (x, w)
+
+
+def _wl_ad_bwd(block_rows, interpret, res, dy):
+    x, w = res
+    B, H, C, W = x.shape
+    Cout = w.shape[-1]
+    # dgrad: conv3x3_wl(dy, rot180(w)^T); block_rows re-picked for the
+    # (Cout -> C) shape (the fwd choice optimized Cin -> Cout)
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))  # (3,3,Cout,Cin)
+    br = pick_block_rows(H, W, Cout, C, dy.dtype.itemsize) or block_rows
+    dx = conv3x3_wl(dy, w_flip, None, block_rows=br, interpret=interpret)
+
+    # wgrad: dw[di,dj,ci,co] = sum_{b,h,w} xpad[b,h+di,ci,w+dj]·dy[b,h,co,w]
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
+    taps = []
+    for di in range(3):
+        row = []
+        for dj in range(3):
+            xs = jax.lax.dynamic_slice(
+                xpad, (0, di, 0, dj), (B, H, C, W))
+            row.append(jnp.einsum("bhcw,bhow->co", xs, dy,
+                                  preferred_element_type=jnp.float32))
+        taps.append(jnp.stack(row))
+    dw = jnp.stack(taps).astype(w.dtype)  # (3,3,Cin,Cout)
+
+    db = jnp.sum(dy, axis=(0, 1, 3),
+                 dtype=jnp.float32).astype(dy.dtype)
+    return dx, dw, db
+
+
+conv3x3_wl_ad.defvjp(_wl_ad_fwd, _wl_ad_bwd)

@@ -71,3 +71,76 @@ def test_former_inference_wl_parity():
     assert out_wl.shape == out_ref.shape
     np.testing.assert_allclose(np.asarray(out_wl), np.asarray(out_ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_conv3x3_wl_ad_grads_match_nhwc_autodiff():
+    """The custom VJP behind SAMT_WL_TRAIN: dx/dw/db of conv3x3_wl_ad
+    equal XLA autodiff of the same conv in NHWC (dgrad reuses the
+    Pallas kernel with rot180+IO-transposed weights; wgrad is 9 MXU
+    contractions)."""
+    from synergize_motion_appearance_tpu.ops.pallas_conv_wl import (
+        conv3x3_wl_ad,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H, W, Ci, Co = 2, 8, 16, 8, 12
+    x = jnp.asarray(rng.randn(B, H, W, Ci).astype(np.float32))
+    w = jnp.asarray(0.2 * rng.randn(3, 3, Ci, Co).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(Co).astype(np.float32))
+    dy = jnp.asarray(rng.randn(B, H, W, Co).astype(np.float32))
+
+    def f_ref(x, w, b):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    def f_wl(x, w, b):
+        return from_wl(conv3x3_wl_ad(4, True, to_wl(x), w, b))
+
+    y_ref, vjp_ref = jax.vjp(f_ref, x, w, b)
+    y_wl, vjp_wl = jax.vjp(f_wl, x, w, b)
+    np.testing.assert_allclose(np.asarray(y_wl), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    for g_wl, g_ref, name in zip(vjp_wl(dy), vjp_ref(dy),
+                                 ("dx", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(g_wl), np.asarray(g_ref),
+            rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_former_train_mode_wl_grads_finite_and_close():
+    """SAMT_WL_TRAIN end-to-end: train-mode (inference=False) forward
+    AND parameter gradients with the WL decoder match NHWC."""
+    rng = np.random.RandomState(4)
+    me = tiny_motion_estimator()
+    src = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    drv = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    me_vars = me.init(jax.random.PRNGKey(0), src, drv)
+    dm = me.apply(me_vars, src, drv)
+
+    f_ref = tiny_former(wl_decoder=False)
+    f_wl = tiny_former(wl_decoder=True, wl_train=True)
+    vars_ = f_ref.init(jax.random.PRNGKey(1), src, dm, gt=drv,
+                       inference=False)
+
+    def loss(fmt, v):
+        out = fmt.apply(v, src, dm, gt=drv, inference=False)
+        return (jnp.mean(jnp.abs(out["out"]))
+                + jnp.mean(jnp.abs(out["out_lr"][0])))
+
+    l_ref, g_ref = jax.value_and_grad(lambda v: loss(f_ref, v))(vars_)
+    l_wl, g_wl = jax.value_and_grad(lambda v: loss(f_wl, v))(vars_)
+    np.testing.assert_allclose(float(l_wl), float(l_ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_wl = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_wl)}
+    # 5e-4 abs: the VJP itself is exact at 3e-5 (unit test above); the
+    # residual here is the forward's ~5e-5 reduction-reassociation noise
+    # amplified through the deep backward graph (worst observed:
+    # 15/18432 elements at 3.2e-4 in an app-block conv kernel).
+    for k, v_ref in flat_ref:
+        v_wl = flat_wl[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(v_wl), np.asarray(v_ref), rtol=2e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(k))

@@ -98,7 +98,12 @@ def aggregate(rows, key):
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/samt_trace"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    # optional 3rd arg: only ops whose hlo_category contains this
+    # substring (e.g. "data formatting" to hunt layout copies)
+    cat_filter = sys.argv[3] if len(sys.argv) > 3 else None
     rows = device_op_rows(load_xspace(trace_dir))
+    if cat_filter:
+        rows = [r for r in rows if cat_filter in r["cat"]]
     total_ps = sum(r["ps"] for r in rows)
     print(f"device total: {total_ps/1e9:.2f} ms over {len(rows)} ops")
 
