@@ -89,6 +89,51 @@ def main():
     assert preds.shape[0] == n_frames
     assert preds.dtype == np.uint8
 
+    # ---- device-only throughput (link-invariant) ----
+    # Same compiled stages on device-resident inputs, no D2H payload:
+    # isolates chip capability from relay weather, so an artifact swing
+    # like r2's 173.6 -> r3's 154.2 fps can be attributed (device number
+    # stable => link; device number moved => real regression).
+    # inputs device_put'd with the SAME dtypes animate() feeds (uint8 /
+    # bf16-downsampled) so device_pass reuses the already-compiled
+    # stages instead of tracing f32 variants through the relay
+    chunks = [driving[i:i + frame_batch]
+              for i in range(0, n_frames, frame_batch)]
+    if pipeline.host_kp_downsample:
+        kp_in = [jax.device_put(jnp.asarray(pipeline._host_kp_prep(c)))
+                 for c in chunks]
+        kp_src_in = jax.device_put(
+            jnp.asarray(pipeline._host_kp_prep(source)))
+        pre_ds = True
+    else:
+        kp_in = [jax.device_put(jnp.asarray(c)) for c in chunks]
+        kp_src_in = jax.device_put(jnp.asarray(source))
+        pre_ds = False
+    s_dev = jax.device_put(jnp.asarray(source))
+
+    def device_pass():
+        kp_source = pipeline._kp_jit(pipeline.m_vars, kp_src_in, pre_ds)
+        src_feats = pipeline._enc_jit(pipeline.g_vars, s_dev)
+        outs = []
+        kp_initial = None
+        for ki in kp_in:
+            kp_chunk = pipeline._kp_jit(pipeline.m_vars, ki, pre_ds)
+            if kp_initial is None:
+                kp_initial = jax.tree_util.tree_map(
+                    lambda x: x[:1], kp_chunk)
+            outs.append(pipeline._gen_jit(
+                pipeline.g_vars, pipeline.m_vars, s_dev, src_feats,
+                kp_source, kp_chunk, kp_initial))
+        jax.block_until_ready(outs)
+
+    device_pass()  # warmup (all stages already compiled by the e2e run)
+    dev_times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        device_pass()
+        dev_times.append(time.perf_counter() - t0)
+    device_fps = n_frames / min(dev_times)
+
     # headline = best of N (closest to machine capability on a noisy
     # shared relay); median reported alongside so link-variance is visible
     fps = n_frames / min(times)
@@ -99,6 +144,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
         "median_fps": round(median_fps, 2),
+        "device_fps": round(device_fps, 2),
+        "device_fps_median": round(
+            n_frames / float(np.median(dev_times)), 2),
         "repeats": repeats,
     }
     try:

@@ -66,6 +66,27 @@ from .vqgan import (
 
 sg = jax.lax.stop_gradient
 
+_ENV_TRUE = ("1", "true", "yes", "on")
+_ENV_FALSE = ("0", "false", "no", "off", "")
+
+
+def _env_flag(name: str) -> Optional[bool]:
+    """Tri-state env flag: None when unset, else a strictly parsed bool.
+
+    Rejects anything outside {1,true,yes,on} / {0,false,no,off,""} so a
+    typo like SAMT_WL_DECODER=flase fails loudly instead of silently
+    enabling the feature (any-non-"0" parsing did exactly that)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return None
+    v = raw.strip().lower()
+    if v in _ENV_TRUE:
+        return True
+    if v in _ENV_FALSE:
+        return False
+    raise ValueError(
+        f"{name}={raw!r}: expected one of {_ENV_TRUE + _ENV_FALSE}")
+
 
 # ---------------------------------------------------------------------------
 # helpers mirroring the reference's deform/occlude utilities
@@ -263,23 +284,23 @@ class AppMotionCompFormer(nn.Module):
     # None = auto (on when the backend is TPU), True/False = force.
     # Env SAMT_WL_DECODER=0/1 overrides. Training stays NHWC unless
     # SAMT_WL_TRAIN=1 / wl_train=True opts the train graph in (the
-    # conv3x3_wl_ad custom VJP makes the kernel differentiable;
-    # measured verdict in docs/PERF.md).
+    # conv3x3_wl_ad custom VJP makes the kernel differentiable —
+    # gradient verdict docs/PERF.md §15b, train-step A/B §17).
     wl_decoder: Optional[bool] = None
     wl_train: bool = False
 
     def _wl_enabled(self) -> bool:
-        env = os.environ.get("SAMT_WL_DECODER")
+        env = _env_flag("SAMT_WL_DECODER")
         if env is not None:
-            return env != "0"
+            return env
         if self.wl_decoder is not None:
             return bool(self.wl_decoder)
         return jax.default_backend() == "tpu"
 
     def _wl_train_enabled(self) -> bool:
-        env = os.environ.get("SAMT_WL_TRAIN")
+        env = _env_flag("SAMT_WL_TRAIN")
         if env is not None:
-            return env != "0"
+            return env
         return bool(self.wl_train)
 
     # ---------------- derived static config ----------------

@@ -403,6 +403,18 @@ class Conv2d(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        elif isinstance(pad, str):
+            # flax string specs ("SAME"/"VALID") would reach _WLConv as
+            # garbage (`tuple(tuple(p) for p in pad)` iterates the
+            # characters) — resolve the two common ones, reject the rest
+            if pad.upper() == "VALID":
+                pad = ((0, 0), (0, 0))
+            elif pad.upper() == "SAME" and self.strides in ((1, 1), [1, 1]):
+                pad = tuple(((k - 1) // 2, k // 2) for k in (kh, kw))
+            else:
+                raise NotImplementedError(
+                    f"padding={self.padding!r} with strides="
+                    f"{self.strides} is not supported under wl_layout()")
         fan_in = kh * kw * in_ch // self.groups
         y = _WLConv(
             features=self.features,

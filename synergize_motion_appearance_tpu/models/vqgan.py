@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import upsample_nearest, vq_quantize
-from .layers import Conv2d, GroupNorm32, swish, leaky_relu, wl_active
+from .layers import (Conv2d, GroupNorm32, swish, leaky_relu, wl_active,
+                     wl_layout, to_wl, from_wl)
 
 
 class VQGANResBlock(nn.Module):
@@ -51,20 +52,30 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        B, H, W, C = x.shape
-        h_ = GroupNorm32(name="norm")(x)
-        q = Conv2d(C, (1, 1), padding=0, name="q")(h_)
-        k = Conv2d(C, (1, 1), padding=0, name="k")(h_)
-        v = Conv2d(C, (1, 1), padding=0, name="v")(h_)
+        # Not WL-layout-aware by design (attention is relayout-bound
+        # anyway): inside a wl_layout() scope, transpose to NHWC and run
+        # the standard path so a config that places attention in the WL
+        # region (attn at >=128², or post-upsample attn off-TPU) computes
+        # correctly instead of silently attending over the wrong axes.
+        wl = wl_active()
+        if wl:
+            x = from_wl(x)
+        with wl_layout(False):
+            B, H, W, C = x.shape
+            h_ = GroupNorm32(name="norm")(x)
+            q = Conv2d(C, (1, 1), padding=0, name="q")(h_)
+            k = Conv2d(C, (1, 1), padding=0, name="k")(h_)
+            v = Conv2d(C, (1, 1), padding=0, name="v")(h_)
 
-        q = q.reshape(B, H * W, C)
-        k = k.reshape(B, H * W, C)
-        v = v.reshape(B, H * W, C)
-        w_ = jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5)
-        w_ = jax.nn.softmax(w_, axis=2)
-        h_ = jnp.einsum("bqk,bkc->bqc", w_, v).reshape(B, H, W, C)
-        h_ = Conv2d(C, (1, 1), padding=0, name="proj_out")(h_)
-        return x + h_
+            q = q.reshape(B, H * W, C)
+            k = k.reshape(B, H * W, C)
+            v = v.reshape(B, H * W, C)
+            w_ = jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5)
+            w_ = jax.nn.softmax(w_, axis=2)
+            h_ = jnp.einsum("bqk,bkc->bqc", w_, v).reshape(B, H, W, C)
+            h_ = Conv2d(C, (1, 1), padding=0, name="proj_out")(h_)
+            out = x + h_
+        return to_wl(out) if wl else out
 
 
 class Downsample(nn.Module):
@@ -72,9 +83,19 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return Conv2d(C, (3, 3), strides=(2, 2), padding=0, name="conv")(x)
+        # Like AttnBlock: not WL-aware — transpose to NHWC under a
+        # wl_layout(False) scope so a WL-region Downsample (no shipped
+        # config has one) computes correctly instead of padding the
+        # wrong axes silently.
+        wl = wl_active()
+        if wl:
+            x = from_wl(x)
+        with wl_layout(False):
+            C = x.shape[-1]
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            y = Conv2d(C, (3, 3), strides=(2, 2), padding=0,
+                       name="conv")(x)
+        return to_wl(y) if wl else y
 
 
 class Upsample(nn.Module):

@@ -263,7 +263,16 @@ _gs_cv.defvjp(_gs_cv_fwd, _gs_cv_bwd)
 # at stream bandwidth — the packed formulation is byte-minimal for
 # data-dependent row scatter on this layout. Kept opt-in for future
 # hardware/layouts; gradients proven equal (tests/test_warp_vjp.py).
-_WARP_VJP = os.environ.get("SAMT_WARP_VJP", "0") == "1"
+# None = defer to the SAMT_WARP_VJP env var, read at TRACE time inside
+# grid_sample (setting the env after import works, unlike an
+# import-time read); True/False = forced (tests monkeypatch this).
+_WARP_VJP = None
+
+
+def _warp_vjp_enabled() -> bool:
+    if _WARP_VJP is not None:
+        return bool(_WARP_VJP)
+    return os.environ.get("SAMT_WARP_VJP", "0") == "1"
 
 
 def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
@@ -277,7 +286,7 @@ def grid_sample(img, grid, align_corners=True, padding_mode="zeros"):
     SAMT_WARP_VJP=1 switches to the direct-scatter custom VJP
     (_gs_cv_bwd) — numerically equivalent, slower on v5e.
     """
-    if not _WARP_VJP:
+    if not _warp_vjp_enabled():
         return _grid_sample_ref(img, grid, align_corners, padding_mode)
     return _gs_cv(tuple(img.shape), bool(align_corners),
                   str(padding_mode), img, grid)

@@ -88,17 +88,21 @@ def _conv_wl_kernel(x_hbm, w_ref, b_ref, o_ref, xb, sem, *,
     # (3C, W) row-triple block, f32 accumulation
     xflat = xb[:, :, :]                       # (BR+2, C, Wp)
     Wp = 2 * _LPAD + W
+    # accumulate in >= f32; follows the operand dtype upward so f64
+    # interpret-mode runs (the numerics-verification path, CPU-only)
+    # really accumulate in f64 instead of silently truncating to f32
+    acc_t = jnp.promote_types(jnp.float32, o_ref.dtype)
     for h in range(BR):
         block = xflat[h:h + 3].reshape(3 * C, Wp)
-        acc = jnp.zeros((Cout, W), jnp.float32)
+        acc = jnp.zeros((Cout, W), acc_t)
         for dj in range(3):
             c0 = _LPAD - 1 + dj
             acc += jax.lax.dot_general(
                 w_ref[dj], block[:, c0:c0 + W],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
-        o_ref[0, h] = (acc + b_ref[:, 0:1].astype(jnp.float32)).astype(
+        o_ref[0, h] = (acc + b_ref[:, 0:1].astype(acc_t)).astype(
             o_ref.dtype)
 
 
@@ -189,6 +193,7 @@ def _wl_ad_bwd(block_rows, interpret, res, dy):
     dx = conv3x3_wl(dy, w_flip, None, block_rows=br, interpret=interpret)
 
     # wgrad: dw[di,dj,ci,co] = sum_{b,h,w} xpad[b,h+di,ci,w+dj]·dy[b,h,co,w]
+    acc_t = jnp.promote_types(jnp.float32, x.dtype)
     xpad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
     taps = []
     for di in range(3):
@@ -197,12 +202,12 @@ def _wl_ad_bwd(block_rows, interpret, res, dy):
             xs = jax.lax.dynamic_slice(
                 xpad, (0, di, 0, dj), (B, H, C, W))
             row.append(jnp.einsum("bhcw,bhow->co", xs, dy,
-                                  preferred_element_type=jnp.float32))
+                                  preferred_element_type=acc_t))
         taps.append(jnp.stack(row))
     dw = jnp.stack(taps).astype(w.dtype)  # (3,3,Cin,Cout)
 
     db = jnp.sum(dy, axis=(0, 1, 3),
-                 dtype=jnp.float32).astype(dy.dtype)
+                 dtype=acc_t).astype(dy.dtype)
     return dx, dw, db
 
 
