@@ -22,7 +22,7 @@ def build_and_load(config):
     import jax
 
     from .models import build_network
-    from .training.checkpoint import load_params
+    from .training.checkpoint import load_variables
 
     net_g = build_network(config["network_g"])
     motion_estimator = build_network(config["network_motion_estimator"])
@@ -45,13 +45,16 @@ def build_and_load(config):
     )(rng, dummy_s, dense_motion)
 
     if g_path:
-        params = load_params(g_path, path_cfg.get("param_key_g", "params_ema"))
-        g_vars = dict(g_vars)
-        g_vars["params"] = params
+        loaded = load_variables(
+            g_path, path_cfg.get("param_key_g", "params_ema"))
+        g_vars = {**dict(g_vars), **loaded}
     if m_path:
-        params = load_params(m_path, path_cfg.get("param_key_m", "params"))
-        m_vars = dict(m_vars)
-        m_vars["params"] = params
+        # batch_stats ride along: the motion estimator's BN running
+        # stats are part of its trained weights (base_model.py load
+        # semantics keep them inside the state_dict)
+        loaded = load_variables(
+            m_path, path_cfg.get("param_key_m", "params"))
+        m_vars = {**dict(m_vars), **loaded}
     return net_g, motion_estimator, g_vars, m_vars
 
 

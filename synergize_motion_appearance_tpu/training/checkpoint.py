@@ -65,10 +65,37 @@ def export_params(path: str, params: Any, param_key: str = "params"):
                   force=True)
 
 
-def load_params(path: str, param_key: str = "params"):
-    restored = _ckptr().restore(osp.abspath(path))
+def load_variables(path: str, param_key: str = "params") -> dict:
+    """Full variables dict ({'params'[, 'batch_stats']}) from either an
+    orbax export (export_params) or a converted-reference .npz
+    (tools/convert_reference_checkpoint.py output, '/'-joined flat keys)
+    — so reference-released .pth checkpoints are drop-in after one
+    converter run (reference load path: base_model.py:236-263)."""
+    if path.endswith(".npz"):
+        import numpy as np
+
+        data = np.load(osp.abspath(path))
+        restored: dict = {}
+        for key in data.files:
+            parts = key.split("/")
+            node = restored
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    else:
+        restored = _ckptr().restore(osp.abspath(path))
+    out = {}
     if param_key in restored:
-        return restored[param_key]
-    if "params" in restored:  # params_ema -> params fallback (:247-252)
-        return restored["params"]
-    return restored
+        out["params"] = restored[param_key]
+    elif "params" in restored:  # params_ema -> params fallback (:247-252)
+        out["params"] = restored["params"]
+    else:
+        out["params"] = restored
+    # BN running stats ride along when present (motion estimator / D)
+    if isinstance(restored, dict) and "batch_stats" in restored:
+        out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
+def load_params(path: str, param_key: str = "params"):
+    return load_variables(path, param_key)["params"]

@@ -299,6 +299,23 @@ class Trainer:
         )(k2, source, dense_motion, gt)
         vars_d = jax.jit(self.net_d.init)(k3, gt)
         vgg_params = jax.jit(self.vgg.init)(k4, gt)["params"]
+        # pretrained VGG19 for the perceptual pyramid (the reference
+        # downloads torchvision weights at loss init, vgg_arch.py; here
+        # train.vgg_weights points at a converted npz —
+        # tools/convert_vgg_weights.py / docs/RELEASE_WEIGHTS.md)
+        vgg_path = (self.opt.get("train", {}) or {}).get("vgg_weights")
+        if vgg_path:
+            from .checkpoint import load_variables
+
+            loaded = load_variables(str(vgg_path))["params"]
+            ref = jax.tree_util.tree_structure(vgg_params)
+            got = jax.tree_util.tree_structure(loaded)
+            if ref != got:
+                raise ValueError(
+                    f"train.vgg_weights={vgg_path}: param tree does not "
+                    f"match VGG19Features (expected {ref}, got {got})")
+            vgg_params = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype), vgg_params, loaded)
 
         params_g = vars_g["params"]
         state = TrainState(

@@ -224,6 +224,20 @@ def map_hourglass(c: Converter, t: str, f: str, num_blocks: int):
              f"{f}/decoder/up_{i}/norm")
 
 
+def _antialias_weight(channels: int, scale: float) -> np.ndarray:
+    """The reference's fixed depthwise gaussian blur buffer
+    (motion_estimator_util.py:603-631), reproduced exactly: separable
+    gaussian with sigma=(1/scale-1)/2, size 2*round(4*sigma)+1,
+    normalized, tiled (C,1,k,k)."""
+    sigma = (1.0 / scale - 1.0) / 2.0
+    ksize = 2 * round(sigma * 4) + 1
+    ax = np.arange(ksize, dtype=np.float32)
+    g = np.exp(-((ax - (ksize - 1) / 2.0) ** 2) / (2.0 * sigma ** 2))
+    k2d = np.outer(g, g).astype(np.float32)
+    k2d /= k2d.sum()
+    return np.tile(k2d[None, None], (channels, 1, 1, 1))
+
+
 def map_motion_estimator(c: Converter, num_blocks_kp=5, num_blocks_dm=5,
                          estimate_jacobian=True,
                          estimate_occlusion=True,
@@ -240,6 +254,13 @@ def map_motion_estimator(c: Converter, num_blocks_kp=5, num_blocks_dm=5,
         # antialias blur kernels are fixed buffers, recomputed on our side
         c.used.add("kp_detector.down.weight")
         c.used.add("dense_motion_network.down.weight")
+    else:
+        # emit the deterministic AntiAliasInterpolation2d gaussian
+        # buffers (motion_estimator_util.py:599-632) so exported
+        # state_dicts load strict=True in the reference
+        w = _antialias_weight(3, scale_factor)
+        c.out_sd["kp_detector.down.weight"] = w
+        c.out_sd["dense_motion_network.down.weight"] = w
     map_hourglass(c, "dense_motion_network.hourglass",
                   "dense_motion_network/hourglass", num_blocks_dm)
     c.conv2d("dense_motion_network.mask", "dense_motion_network/mask")
