@@ -839,7 +839,13 @@ class AppMotionCompFormer(nn.Module):
         # occlusion, codebook compensation) stays NHWC.
         use_wl = self._wl_enabled() and (inference
                                          or self._wl_train_enabled())
+        # the parallel low-res decode (train only, :651/:658-659) runs the
+        # same blocks; keeping it in the SAME layout as the main stream
+        # avoids XLA assigning the shared ops two disagreeing layouts
+        # (measured A/B docs/PERF.md §18). SAMT_WL_XLR=0 reverts.
+        xlr_wl = use_wl and _env_flag("SAMT_WL_XLR") is not False
         in_wl = False
+        lr_wl = False
 
         pre_final = None
         for i, block in enumerate(self.generator_blocks):
@@ -848,17 +854,24 @@ class AppMotionCompFormer(nn.Module):
                          or jax.default_backend() != "tpu"):
                 xg = to_wl(xg)
                 in_wl = True
+                if x_lr is not None and xlr_wl:
+                    x_lr = to_wl(x_lr)
+                    lr_wl = True
             if i == len(self.generator_blocks) - 1:
                 if in_wl:
                     xg = from_wl(xg)
                     in_wl = False
+                if lr_wl:
+                    x_lr = from_wl(x_lr)
+                    lr_wl = False
                 # activation entering the final RGB conv — used by the
                 # adaptive GAN weight (appmotioncomp_model.py:222-228, 334)
                 pre_final = xg
             with wl_layout(in_wl):
                 xg = block(xg)
             if x_lr is not None:
-                x_lr = block(x_lr)
+                with wl_layout(lr_wl):
+                    x_lr = block(x_lr)
             if i in gen_tap_idx:
                 f_res = gen_tap_idx[i]
                 enc_feat = enc_feat_dict[f_res]

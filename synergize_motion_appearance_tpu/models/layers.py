@@ -319,13 +319,19 @@ def wl_layout(enable: bool = True):
 
 
 def to_wl(x):
-    """(B, H, W, C) -> (B, H, C, W)."""
-    return jnp.swapaxes(x, 2, 3)
+    """(B, H, W, C) -> (B, H, C, W).
+
+    The transpose is remat-named "wl_edge": under selective remat the
+    layout copy XLA emits for it is elementwise-class and would re-run
+    in the backward's re-forward; saving it keeps each region-boundary
+    transpose a once-per-step cost (measured verdict docs/PERF.md §18).
+    """
+    return _checkpoint_name(jnp.swapaxes(x, 2, 3), "wl_edge")
 
 
 def from_wl(x):
-    """(B, H, C, W) -> (B, H, W, C)."""
-    return jnp.swapaxes(x, 2, 3)
+    """(B, H, C, W) -> (B, H, W, C). Remat-named like to_wl."""
+    return _checkpoint_name(jnp.swapaxes(x, 2, 3), "wl_edge")
 
 
 class Conv2d(nn.Module):

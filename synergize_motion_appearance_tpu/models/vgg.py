@@ -45,7 +45,20 @@ class VGG19Features(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        # dtype-preserving normalization: the f32 constants would
+        # silently promote a bf16 pyramid back to f32 at the VGG entry,
+        # doubling every VGG activation byte in the mixed-precision
+        # train step (found by the §18 copy hunt — the f32[B,256,256,64]
+        # layout-copy class was VGG slice-1 running promoted).
+        # SAMT_VGG_DT=1 opts in (A/B in tools/bench_copy_hunt.py);
+        # default keeps the historical promoting form until measured.
+        import os
+        if os.environ.get("SAMT_VGG_DT") == "1":
+            mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
+            std = jnp.asarray(_IMAGENET_STD, x.dtype)
+            x = (x - mean) / std
+        else:
+            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
         outs: List[jnp.ndarray] = []
         conv_i = 0
         slice_ends = set(_SLICE_ENDS_CONV)

@@ -257,6 +257,12 @@ class Trainer:
             names = ["conv_out", "dense_out"]
             if os.environ.get("SAMT_WARP_RESIDENT", "1") != "0":
                 names.append("warp_corners")
+            # "wl_edge" keeps the WL region-boundary transposes resident
+            # so the backward's re-forward doesn't repeat the layout
+            # copies (the largest single data-formatting bucket in the
+            # b8 step trace — docs/PERF.md §18). SAMT_WL_EDGE=0 reverts.
+            if os.environ.get("SAMT_WL_EDGE", "1") != "0":
+                names.append("wl_edge")
             self.remat_policy = jax.checkpoint_policies.save_only_these_names(
                 *names)
         # opt-in mixed precision: run the generator forward and the VGG
