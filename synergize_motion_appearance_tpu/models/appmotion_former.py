@@ -10,9 +10,11 @@ cross-attention, with nested prefix sub-codebooks per scale
 TPU-first notes:
   * The 4-scale loop is unrolled statically; every branch flag is a python
     constant, so one jit trace covers train and one covers inference.
-  * All warps are `ops.grid_sample` (Pallas-backed on TPU); flow fields stay
-    at the dense-motion resolution exactly like the reference, resized
-    per-scale with bilinear align_corners=True matmuls on the MXU.
+  * All warps are `ops.grid_sample` — an XLA corner-packed gather (the
+    Pallas warp attempts measured slower; post-mortem ops/interp.py /
+    ops/pallas_warp.py); flow fields stay at the dense-motion resolution
+    exactly like the reference, resized per-scale with bilinear
+    align_corners=True matmuls on the MXU.
   * stop_gradient placement mirrors the reference's .detach() calls:
     motion_emb input (:377), deform_feat_list (:609-615, :705-719), and the
     straight-through VQ estimator.
@@ -25,7 +27,6 @@ given as resolution strings ('64') exactly like the reference YAML.
 from __future__ import annotations
 
 import math
-import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -64,28 +65,9 @@ from .vqgan import (
     generator_block_defs,
 )
 
+from ..utils.env import env_flag as _env_flag
+
 sg = jax.lax.stop_gradient
-
-_ENV_TRUE = ("1", "true", "yes", "on")
-_ENV_FALSE = ("0", "false", "no", "off", "")
-
-
-def _env_flag(name: str) -> Optional[bool]:
-    """Tri-state env flag: None when unset, else a strictly parsed bool.
-
-    Rejects anything outside {1,true,yes,on} / {0,false,no,off,""} so a
-    typo like SAMT_WL_DECODER=flase fails loudly instead of silently
-    enabling the feature (any-non-"0" parsing did exactly that)."""
-    raw = os.environ.get(name)
-    if raw is None:
-        return None
-    v = raw.strip().lower()
-    if v in _ENV_TRUE:
-        return True
-    if v in _ENV_FALSE:
-        return False
-    raise ValueError(
-        f"{name}={raw!r}: expected one of {_ENV_TRUE + _ENV_FALSE}")
 
 
 # ---------------------------------------------------------------------------
@@ -852,17 +834,17 @@ class AppMotionCompFormer(nn.Module):
             if use_wl and not in_wl and isinstance(block, Upsample) \
                     and ((xg.shape[2] * 2) % 128 == 0
                          or jax.default_backend() != "tpu"):
-                xg = to_wl(xg)
+                xg = to_wl(xg, name="wl_edge")
                 in_wl = True
                 if x_lr is not None and xlr_wl:
-                    x_lr = to_wl(x_lr)
+                    x_lr = to_wl(x_lr, name="wl_edge")
                     lr_wl = True
             if i == len(self.generator_blocks) - 1:
                 if in_wl:
-                    xg = from_wl(xg)
+                    xg = from_wl(xg, name="wl_edge")
                     in_wl = False
                 if lr_wl:
-                    x_lr = from_wl(x_lr)
+                    x_lr = from_wl(x_lr, name="wl_edge")
                     lr_wl = False
                 # activation entering the final RGB conv — used by the
                 # adaptive GAN weight (appmotioncomp_model.py:222-228, 334)
@@ -900,7 +882,8 @@ class AppMotionCompFormer(nn.Module):
                     )
                     app_comp_list.append(enc_feat_warped)
                 if in_wl:
-                    enc_feat_warped = to_wl(enc_feat_warped)
+                    enc_feat_warped = to_wl(enc_feat_warped,
+                                            name="wl_edge")
                 with wl_layout(in_wl):
                     if self.multiscale_sft:
                         xg = self.fuse_convs_dict[f_res](

@@ -318,20 +318,26 @@ def wl_layout(enable: bool = True):
         _WL_LAYOUT.reset(tok)
 
 
-def to_wl(x):
+def to_wl(x, name=None):
     """(B, H, W, C) -> (B, H, C, W).
 
-    The transpose is remat-named "wl_edge": under selective remat the
-    layout copy XLA emits for it is elementwise-class and would re-run
-    in the backward's re-forward; saving it keeps each region-boundary
-    transpose a once-per-step cost (measured verdict docs/PERF.md §18).
+    ``name="wl_edge"`` remat-names the transpose: under selective remat
+    the layout copy XLA emits for it is elementwise-class and would
+    re-run in the backward's re-forward; saving it keeps that transpose
+    a once-per-step cost (measured A/B docs/PERF.md §18). Only the WL
+    REGION boundaries in appmotion_former pass the name — the per-conv
+    fallback transposes (Conv2d._call_wl) and the AttnBlock/Downsample
+    shims stay unnamed so residency matches what the trainer comment
+    describes.
     """
-    return _checkpoint_name(jnp.swapaxes(x, 2, 3), "wl_edge")
+    y = jnp.swapaxes(x, 2, 3)
+    return _checkpoint_name(y, name) if name else y
 
 
-def from_wl(x):
-    """(B, H, C, W) -> (B, H, W, C). Remat-named like to_wl."""
-    return _checkpoint_name(jnp.swapaxes(x, 2, 3), "wl_edge")
+def from_wl(x, name=None):
+    """(B, H, C, W) -> (B, H, W, C). Remat naming like to_wl."""
+    y = jnp.swapaxes(x, 2, 3)
+    return _checkpoint_name(y, name) if name else y
 
 
 class Conv2d(nn.Module):

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..utils.env import env_flag_default
 from .layers import Conv2d
 
 # (out_channels per conv, pool positions) of VGG19 `features`
@@ -52,8 +53,8 @@ class VGG19Features(nn.Module):
         # layout-copy class was VGG slice-1 running promoted).
         # SAMT_VGG_DT=1 opts in (A/B in tools/bench_copy_hunt.py);
         # default keeps the historical promoting form until measured.
-        import os
-        if os.environ.get("SAMT_VGG_DT") == "1":
+        # Flag is read at trace time (strict parse, utils/env.py).
+        if env_flag_default("SAMT_VGG_DT", False):
             mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
             std = jnp.asarray(_IMAGENET_STD, x.dtype)
             x = (x - mean) / std

@@ -41,6 +41,7 @@ from ..losses.losses import (
 )
 from ..models import build_network
 from ..models.vgg import VGG19Features
+from ..utils.env import env_flag_default
 from ..ops import grid_sample, make_coordinate_grid, sample_random_tps
 from ..ops.tps import tps_warp_frame_grid
 
@@ -255,13 +256,13 @@ class Trainer:
             # 588 ms — docs/PERF.md §14). SAMT_WARP_RESIDENT=0 reverts
             # (isolation experiments).
             names = ["conv_out", "dense_out"]
-            if os.environ.get("SAMT_WARP_RESIDENT", "1") != "0":
+            if env_flag_default("SAMT_WARP_RESIDENT", True):
                 names.append("warp_corners")
             # "wl_edge" keeps the WL region-boundary transposes resident
             # so the backward's re-forward doesn't repeat the layout
             # copies (the largest single data-formatting bucket in the
             # b8 step trace — docs/PERF.md §18). SAMT_WL_EDGE=0 reverts.
-            if os.environ.get("SAMT_WL_EDGE", "1") != "0":
+            if env_flag_default("SAMT_WL_EDGE", True):
                 names.append("wl_edge")
             self.remat_policy = jax.checkpoint_policies.save_only_these_names(
                 *names)
@@ -340,7 +341,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _probe_d_weight(self, params_g, pre_final, gt, fake_stats_ctx,
-                        gt_feats=None):
+                        vgg_params, gt_feats=None):
         """Adaptive GAN weight via grad probes on the final conv kernel
         (appmotioncomp_model.py:222-228, 325-345). `pre_final` is the
         activation entering the final RGB conv; gradients wrt other params
@@ -361,7 +362,7 @@ class Trainer:
         kernel = cast(kernel)
         bias_c = cast(bias)
         params_d, stats_d = fake_stats_ctx
-        vgg_p = cast(self._vgg_params)
+        vgg_p = cast(vgg_params)
 
         kh, kw, cin, cout = kernel.shape
 
@@ -426,8 +427,6 @@ class Trainer:
 
     def _make_train_step_body(self) -> Callable:
         def train_step(state: TrainState, batch, rng, vgg_params):
-            # expose vgg params to the probe closure without re-tracing
-            self._vgg_params = vgg_params
             source = batch["source"]
             gt = batch["driving"]
             B, H, W, _ = gt.shape
@@ -526,7 +525,7 @@ class Trainer:
                         d_weight = self._probe_d_weight(
                             params_g, out["pre_final"], gt,
                             (state.params_d, state.stats_d),
-                            gt_feats=gt_feats,
+                            vgg_params, gt_feats=gt_feats,
                         )
                     else:
                         d_weight = jnp.asarray(1.0)

@@ -33,6 +33,10 @@ VARIANTS = (
     ("edge", {"SAMT_WL_EDGE": "1", "SAMT_WL_XLR": "0", "SAMT_VGG_DT": "0"}),
     ("xlr", {"SAMT_WL_EDGE": "0", "SAMT_WL_XLR": "1", "SAMT_VGG_DT": "0"}),
     ("vgg", {"SAMT_WL_EDGE": "0", "SAMT_WL_XLR": "0", "SAMT_VGG_DT": "1"}),
+    # the shipped default (edge+xlr on) — measured as a combination, not
+    # inferred from the isolations
+    ("edge_xlr",
+     {"SAMT_WL_EDGE": "1", "SAMT_WL_XLR": "1", "SAMT_VGG_DT": "0"}),
 )
 
 
@@ -48,11 +52,13 @@ def run_variant(name, flags, batch, remat, steps):
     out = p.stdout + p.stderr
     m = re.search(r"chained step: (\d+) ms/step", out)
     m3 = re.search(r"l_g_total=([\d.]+)", out)
+    m4 = re.search(r"hbm peak: ([\d.]+) GiB", out)
     if p.returncode != 0 or not m:
         print(out[-3000:])
         raise SystemExit(f"{name} run failed (rc={p.returncode})")
     return {"chained_ms": int(m.group(1)),
-            "step1_loss": float(m3.group(1)) if m3 else None}
+            "step1_loss": float(m3.group(1)) if m3 else None,
+            "hbm_gib": float(m4.group(1)) if m4 else None}
 
 
 def main():
@@ -60,24 +66,32 @@ def main():
     remat = sys.argv[2] if len(sys.argv) > 2 else "selective"
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     passes = int(os.environ.get("HUNT_PASSES", "2"))
+    # HUNT_VARIANTS=base,xlr,vgg limits the sweep (e.g. at b2 remat-off
+    # the wl_edge checkpoint name is inert, so edge variants are
+    # redundant compiles)
+    sel = os.environ.get("HUNT_VARIANTS")
+    variants = tuple(v for v in VARIANTS
+                     if sel is None or v[0] in sel.split(","))
 
-    results = {name: [] for name, _ in VARIANTS}
+    results = {name: [] for name, _ in variants}
     for p in range(passes):
-        for name, flags in VARIANTS:
+        for name, flags in variants:
             r = run_variant(name, flags, batch, remat, steps)
             results[name].append(r)
             print(f"pass {p} {name}: chained {r['chained_ms']} ms/step "
-                  f"(step1 l_g_total={r['step1_loss']})", flush=True)
+                  f"(step1 l_g_total={r['step1_loss']}, "
+                  f"hbm {r['hbm_gib']} GiB)", flush=True)
 
     summary = {}
     base_loss = results["base"][0]["step1_loss"]
-    for name, _ in VARIANTS:
+    for name, _ in variants:
         ch = [r["chained_ms"] for r in results[name]]
-        summary[name] = {
-            "chained_ms": ch, "best_ms": min(ch),
-            "loss_dev": round(
-                abs(results[name][0]["step1_loss"] - base_loss), 6),
-        }
+        loss = results[name][0]["step1_loss"]
+        dev = (None if base_loss is None or loss is None
+               else round(abs(loss - base_loss), 6))
+        summary[name] = {"chained_ms": ch, "best_ms": min(ch),
+                         "loss_dev": dev,
+                         "hbm_gib": results[name][0]["hbm_gib"]}
     print(json.dumps({"batch": batch, "remat": remat, "steps": steps,
                       "passes": passes, **summary}))
 

@@ -65,9 +65,11 @@ def main():
         ch = [r["chained_ms"] for r in results[name]]
         summary[name] = {"chained_ms": ch, "best_ms": min(ch)}
     ratio = summary["nhwc"]["best_ms"] / summary["wl"]["best_ms"]
-    dev = abs(results["nhwc"][0]["step1_loss"] - results["wl"][0]["step1_loss"])
+    l_n = results["nhwc"][0]["step1_loss"]
+    l_w = results["wl"][0]["step1_loss"]
+    dev = None if l_n is None or l_w is None else round(abs(l_n - l_w), 6)
     print(json.dumps({"batch": batch, "remat": remat, "steps": steps,
-                      "passes": passes, "step1_loss_dev": round(dev, 6),
+                      "passes": passes, "step1_loss_dev": dev,
                       **summary, "wl_speedup": round(ratio, 4)}))
 
 

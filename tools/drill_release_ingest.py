@@ -12,24 +12,24 @@ tool FABRICATES a bundle in exactly those file formats (reference torch
 archs instantiated from the oracle, random-init, torch.save'd), then
 runs the full ingest a real user would run:
 
-  fabricate --> convert (3 nets + 3 metric bundles + vgg19 loss net)
-            --> load through demo.build_and_load (the demo/test.py path)
-            --> converted-tensor spot checks vs the torch state_dicts
-            --> metric battery (FID / LPIPS / AED) on synthetic frame
-                dirs produces non-degenerate, finite scores
+  fabricate --> tools/ingest_release.run(): convert (3 nets + 3 metric
+            bundles + vgg19 loss net) --> round-trip-verify every
+            tensor --> load through demo.build_and_load (the demo/
+            test.py path) --> metric battery (FID / LPIPS / AED) on
+            synthetic frame dirs produces non-degenerate, finite scores
 
 Usage:
   python tools/drill_release_ingest.py --dir /tmp/samt_release_drill
-  # when real released weights exist: drop the .pth files (same names)
-  # into DIR and skip fabrication:
-  python tools/drill_release_ingest.py --dir DIR --no-fabricate
+  # when REAL released weights exist, use the first-class entry point
+  # the drill itself drives (same code path, no fabrication):
+  python tools/ingest_release.py --weights DIR [--data VIDEOS_DIR]
 
-Everything downstream of fabrication is byte-for-byte the path real
-released weights take; docs/RELEASE_WEIGHTS.md documents what to drop
-where.
+Everything downstream of fabrication IS tools/ingest_release.py — the
+drill imports and calls its `run()`, so the drill passing proves the
+real-weights command works; docs/RELEASE_WEIGHTS.md documents what to
+drop where.
 """
 import argparse
-import json
 import os
 import sys
 from os import path as osp
@@ -248,234 +248,13 @@ def fabricate(bundle_dir: str, skip_nets: bool = False):
 
 
 # --------------------------------------------------------------------------
-# ingest: the exact path real released weights take
+# everything downstream of fabrication lives in tools/ingest_release.py —
+# the SAME entry point real released weights take
+# (`python tools/ingest_release.py --weights DIR`); the drill only
+# fabricates the bundle and then drives that module.
 # --------------------------------------------------------------------------
 
-def ingest(bundle_dir: str, out_dir: str, skip_nets: bool = False):
-    """convert the .pth bundle -> .npz checkpoints + SAMT_WEIGHTS_DIR."""
-    from convert_reference_checkpoint import (
-        convert_motion_estimator, convert_net_d, convert_net_g,
-        load_torch_state_dict, save_npz)
-    from synergize_motion_appearance_tpu.utils.options import load_yaml
-
-    os.makedirs(out_dir, exist_ok=True)
-    cfg = load_yaml(osp.join(ROOT, "options", "train.yml"))
-
-    # --- the three networks ---
-    for key in () if skip_nets else ("params", "params_ema"):
-        sd = load_torch_state_dict(
-            osp.join(bundle_dir, NET_FILES["g"]), key)
-        variables, unused = convert_net_g(sd, dict(cfg["network_g"]))
-        assert unused == [], f"net_g[{key}] unconverted: {unused[:8]}"
-        save_npz(variables, osp.join(out_dir, f"net_g_{key}.npz"))
-    if not skip_nets:
-        me = cfg["network_motion_estimator"]
-        sd = load_torch_state_dict(
-            osp.join(bundle_dir, NET_FILES["motion_estimator"]),
-            "params")
-        variables, unused = convert_motion_estimator(
-            sd,
-            num_blocks_kp=me["kp_detector_params"]["num_blocks"],
-            num_blocks_dm=me["dense_motion_params"]["num_blocks"],
-            multi_mask=me["dense_motion_params"].get("multi_mask",
-                                                     False),
-            occlusion_num=me["dense_motion_params"].get("occlusion_num",
-                                                        5),
-            scale_factor=me["dense_motion_params"].get("scale_factor",
-                                                       0.25))
-        assert unused == [], f"net_me unconverted: {unused[:8]}"
-        save_npz(variables,
-                 osp.join(out_dir, "net_motion_estimator.npz"))
-        sd = load_torch_state_dict(osp.join(bundle_dir, NET_FILES["d"]),
-                                   "params")
-        variables, unused = convert_net_d(
-            sd, cfg["network_d"].get("n_layers", 4))
-        assert unused == [], f"net_d unconverted: {unused[:8]}"
-        save_npz(variables, osp.join(out_dir, "net_d.npz"))
-
-    # --- metric backbones -> the names external.py searches ---
-    import torch
-
-    from synergize_motion_appearance_tpu.metrics.external import (
-        flatten_params)
-    from synergize_motion_appearance_tpu.metrics.inception import (
-        convert_torch_inception)
-    from synergize_motion_appearance_tpu.metrics.lpips_jax import (
-        convert_lpips_weights)
-    from synergize_motion_appearance_tpu.metrics.openface import (
-        convert_openface_weights)
-
-    def _load(name):
-        return torch.load(osp.join(bundle_dir, name), map_location="cpu",
-                          weights_only=True)
-
-    np.savez(osp.join(out_dir, "inception.npz"), **flatten_params(
-        convert_torch_inception(_load(INCEPTION_FILE))))
-    np.savez(osp.join(out_dir, "lpips_vgg.npz"), **flatten_params(
-        convert_lpips_weights(_load("vgg16.pth"),
-                              _load("lpips_lins.pth"))))
-    np.savez(osp.join(out_dir, "openface.npz"), **flatten_params(
-        convert_openface_weights(_load("openface.pth"))))
-    # vgg19 for the training perceptual/style losses
-    from convert_vgg_weights import save_npz as save_vgg_npz
-    from convert_vgg_weights import torch_vgg_to_flax
-
-    save_vgg_npz(torch_vgg_to_flax(
-        {k: v.numpy() for k, v in _load("vgg19.pth").items()}),
-        osp.join(out_dir, "vgg19_flax.npz"))
-
-    print(f"converted everything into {out_dir}")
-
-
-# --------------------------------------------------------------------------
-# validation
-# --------------------------------------------------------------------------
-
-def roundtrip_check(bundle_dir: str, out_dir: str):
-    """Reverse-export every converted net back to a reference-named
-    state_dict and compare EVERY tensor to the fabricated original —
-    validates all leaves of all three nets through the file path with
-    zero name guessing. (Forward-parity at the activation level is
-    tools/validate_reference_parity.py, proven in round 3.)"""
-    from convert_reference_checkpoint import (
-        export_motion_estimator, export_net_d, export_net_g,
-        load_torch_state_dict)
-    from convert_vgg_weights import load_npz
-    from synergize_motion_appearance_tpu.utils.options import load_yaml
-
-    cfg = load_yaml(osp.join(ROOT, "options", "train.yml"))
-    me = cfg["network_motion_estimator"]
-    cases = [
-        ("net_g_params_ema.npz", NET_FILES["g"], "params_ema",
-         lambda v: export_net_g(v, dict(cfg["network_g"]))),
-        ("net_g_params.npz", NET_FILES["g"], "params",
-         lambda v: export_net_g(v, dict(cfg["network_g"]))),
-        ("net_motion_estimator.npz", NET_FILES["motion_estimator"],
-         "params",
-         lambda v: export_motion_estimator(
-             v,
-             num_blocks_kp=me["kp_detector_params"]["num_blocks"],
-             num_blocks_dm=me["dense_motion_params"]["num_blocks"],
-             multi_mask=me["dense_motion_params"].get("multi_mask",
-                                                      False),
-             occlusion_num=me["dense_motion_params"].get("occlusion_num",
-                                                         5),
-             scale_factor=me["dense_motion_params"].get("scale_factor",
-                                                        0.25))),
-        ("net_d.npz", NET_FILES["d"], "params",
-         lambda v: export_net_d(v, cfg["network_d"].get("n_layers", 4))),
-    ]
-    for npz_name, pth_name, key, export in cases:
-        variables = load_npz(osp.join(out_dir, npz_name))
-        back = export(variables)
-        orig = load_torch_state_dict(osp.join(bundle_dir, pth_name), key)
-        missing = sorted(set(orig) - set(back))
-        extra = sorted(set(back) - set(orig))
-        assert not missing and not extra, (npz_name, missing[:5],
-                                           extra[:5])
-        for k in orig:
-            if k.endswith("down.weight"):
-                # recomputed antialias gaussian buffers: numpy exp vs
-                # torch exp may differ in the last ulp
-                np.testing.assert_allclose(
-                    np.asarray(back[k]), orig[k], rtol=0, atol=1e-7,
-                    err_msg=f"{npz_name}:{k}")
-            else:
-                np.testing.assert_array_equal(
-                    np.asarray(back[k]), orig[k],
-                    err_msg=f"{npz_name}:{k}")
-        print(f"round-trip exact: {npz_name} ({len(orig)} tensors) "
-              f"== {pth_name}[{key}]")
-    # params_ema independence: the drill bundle fabricates DISTINCT ema
-    # weights, so key selection is actually proven
-    a = load_npz(osp.join(out_dir, "net_g_params.npz"))
-    b = load_npz(osp.join(out_dir, "net_g_params_ema.npz"))
-    import jax
-
-    la = jax.tree_util.tree_leaves(a)
-    lb = jax.tree_util.tree_leaves(b)
-    assert any(not np.array_equal(x, y) for x, y in zip(la, lb)), (
-        "params and params_ema should differ in the drill bundle")
-    print("params vs params_ema: distinct (key selection proven)")
-
-
-def load_via_demo(out_dir: str):
-    """The demo/test.py load path accepts the converted files."""
-    from synergize_motion_appearance_tpu.demo import build_and_load
-    from synergize_motion_appearance_tpu.utils.options import load_yaml
-
-    cfg = load_yaml(osp.join(ROOT, "options", "train.yml"))
-    cfg = dict(cfg)
-    cfg["path"] = {
-        "pretrain_network_g": osp.join(out_dir, "net_g_params_ema.npz"),
-        "pretrain_network_motion_estimator": osp.join(
-            out_dir, "net_motion_estimator.npz"),
-        "param_key_g": "params",  # npz already holds the selected key
-    }
-    net_g, me, g_vars, m_vars = build_and_load(cfg)
-    assert "batch_stats" in m_vars, (
-        "motion estimator BN running stats must ride along")
-    n_leaves = len(jax_leaves(g_vars["params"]))
-    print(f"demo.build_and_load loaded converted weights "
-          f"({n_leaves} generator param leaves)")
-    return net_g, me, g_vars, m_vars
-
-
-def jax_leaves(tree):
-    import jax
-
-    return jax.tree_util.tree_leaves(tree)
-
-
-def battery(out_dir: str, work_dir: str):
-    """FID / LPIPS / AED on two synthetic frame dirs with the converted
-    metric weights — scores must be finite, non-degenerate, and ordered
-    (identical dirs score better than shifted dirs)."""
-    os.environ["SAMT_WEIGHTS_DIR"] = out_dir
-    import cv2
-
-    from synergize_motion_appearance_tpu.metrics.external import (
-        calculate_aed, calculate_fid, calculate_lpips)
-
-    rng = np.random.RandomState(3)
-    d_gt = osp.join(work_dir, "gt")
-    d_same = osp.join(work_dir, "same")
-    d_shift = osp.join(work_dir, "shift")
-    for d in (d_gt, d_same, d_shift):
-        os.makedirs(d, exist_ok=True)
-    # smooth random images (pure noise saturates perceptual nets)
-    for i in range(8):
-        base = rng.rand(32, 32, 3)
-        img = cv2.resize((base * 255).astype(np.uint8), (256, 256),
-                         interpolation=cv2.INTER_CUBIC)
-        cv2.imwrite(osp.join(d_gt, f"{i:04d}.png"), img)
-        cv2.imwrite(osp.join(d_same, f"{i:04d}.png"), img)
-        cv2.imwrite(osp.join(d_shift, f"{i:04d}.png"),
-                    np.roll(img, 40, axis=1))
-
-    fid_same = calculate_fid([d_gt, d_same])
-    fid_shift = calculate_fid([d_gt, d_shift])
-    lp_same = calculate_lpips(d_gt, d_same)
-    lp_shift = calculate_lpips(d_gt, d_shift)
-    aed_same = calculate_aed(d_gt, d_same)
-    aed_shift = calculate_aed(d_gt, d_shift)
-    scores = dict(fid_same=fid_same, fid_shift=fid_shift,
-                  lpips_same=lp_same, lpips_shift=lp_shift,
-                  aed_same=aed_same, aed_shift=aed_shift)
-    print("battery:", json.dumps(
-        {k: round(float(v), 5) for k, v in scores.items()}))
-    for k, v in scores.items():
-        assert np.isfinite(v), f"{k} not finite"
-    # non-degenerate: identical dirs ~0, shifted dirs strictly worse
-    assert lp_same < 1e-5 and lp_shift > 1e-2, (lp_same, lp_shift)
-    assert abs(fid_same) < 1e-3 and fid_shift > 1e-2, (fid_same,
-                                                       fid_shift)
-    # OpenFace embeddings are norm-bounded, so random-weight distances
-    # are small in absolute terms; 1e-4 is ~4 orders above the
-    # degenerate default-init case (1e-8) and strictly ordered vs 0
-    assert aed_same < 1e-6 and aed_shift > 1e-4, (aed_same, aed_shift)
-    print("battery non-degenerate: same-dir ~0, shifted dirs strictly "
-          "worse on all three metrics")
+from ingest_release import run as ingest_run  # noqa: E402
 
 
 def main():
@@ -499,15 +278,10 @@ def main():
     # the vendored OpenFacePytorch dir must be importable for fabrication
     sys.path.insert(0, "/root/reference/basicsr/metrics/OpenFacePytorch")
 
-    out_dir = osp.join(args.dir, "converted")
     if not args.no_fabricate:
         fabricate(args.dir, skip_nets=args.skip_nets)
-    ingest(args.dir, out_dir, skip_nets=args.skip_nets)
-    if not args.skip_nets:
-        roundtrip_check(args.dir, out_dir)
-        load_via_demo(out_dir)
-    if not args.skip_battery:
-        battery(out_dir, osp.join(args.dir, "battery_work"))
+    ingest_run(args.dir, osp.join(args.dir, "converted"),
+               skip_battery=args.skip_battery, skip_nets=args.skip_nets)
     print("RELEASE INGEST DRILL PASSED" +
           (" (metric backbones only)" if args.skip_nets else ""))
 

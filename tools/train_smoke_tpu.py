@@ -102,6 +102,12 @@ def main():
     print(f"chained step: {chained*1e3:.0f} ms/step over {ch} "
           f"({batch/chained:.2f} samples/s/chip)")
     try:
+        ms = jax.devices()[0].memory_stats()
+        print(f"hbm peak: {ms['peak_bytes_in_use']/2**30:.2f} GiB "
+              f"(limit {ms.get('bytes_limit', 0)/2**30:.2f})")
+    except Exception:
+        pass
+    try:
         from tools.flops_report import (TRAIN_STEP_FLOPS_PER_SAMPLE,
                                         _device_peak_flops)
 
