@@ -19,11 +19,38 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .interp import _corner_plan_from_pixels, _pack_corners
+
 
 def _bilinear_gather(x, ys, xs):
     """x: (B,H,W,C); ys/xs: (B,N) float sample positions.
     Returns (B,N,C) bilinear samples with zeros outside (matching
-    deformable_im2col_bilinear's boundary handling)."""
+    deformable_im2col_bilinear's boundary handling).
+
+    Corner-packed form (measured A/B vs the naive 4-gather form in
+    tools/bench_dcn.py / docs/PERF.md §19): the 4 bilinear corners of
+    every base pixel are packed into channels with rolls, the sample is
+    ONE lane-aligned (N, 4C) gather, and the per-corner validity/wrap
+    corrections are folded into 4 per-pixel slot weights — the same
+    design as the grid_sample warp (ops/interp.py)."""
+    B, H, W, C = x.shape
+    flat, (a0, a1, a2, a3), _ = _corner_plan_from_pixels(
+        xs.astype(jnp.float32), ys.astype(jnp.float32), H, W, "zeros")
+    packed = _pack_corners(x)
+    p = jnp.take_along_axis(packed.reshape(B, H * W, 4 * C),
+                            flat[..., None], axis=1)
+    bd = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else None
+    a0, a1, a2, a3 = (a[..., None] for a in (a0, a1, a2, a3))
+    if bd is not None:
+        a0, a1, a2, a3 = (a.astype(bd) for a in (a0, a1, a2, a3))
+    out = (p[..., 0:C] * a0 + p[..., C:2 * C] * a1
+           + p[..., 2 * C:3 * C] * a2 + p[..., 3 * C:] * a3)
+    return out.astype(x.dtype)
+
+
+def _bilinear_gather_naive(x, ys, xs):
+    """Reference 4-separate-gathers form — numerics oracle for the
+    packed form and the A/B baseline in tools/bench_dcn.py."""
     B, H, W, C = x.shape
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)

@@ -74,6 +74,15 @@ def _warp_gather_plan(H, W, grid, align_corners, padding_mode):
         ix = jnp.clip(ix, 0.0, W - 1.0)
         iy = jnp.clip(iy, 0.0, H - 1.0)
 
+    return _corner_plan_from_pixels(ix, iy, H, W, padding_mode)
+
+
+def _corner_plan_from_pixels(ix, iy, H, W, padding_mode):
+    """Corner-packed gather plan from PIXEL-space sample coords ix/iy
+    (f32, any leading shape). Shared by grid_sample (above, after its
+    [-1,1] unnormalize + padding transform) and the deformable-conv
+    bilinear gather (ops/dcn.py — deformable_im2col_bilinear samples in
+    pixel space with zeros outside)."""
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
     ix1 = ix0 + 1.0
