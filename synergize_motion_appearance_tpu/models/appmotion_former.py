@@ -270,6 +270,12 @@ class AppMotionCompFormer(nn.Module):
     # gradient verdict docs/PERF.md §15b, train-step A/B §17).
     wl_decoder: Optional[bool] = None
     wl_train: bool = False
+    # run the parallel low-res decode (train only) in the same WL layout
+    # as the main stream. Measured §18: −4 ms at the b2 remat-off recipe
+    # (157 vs 161 chained), +2 ms at b8-selective — so the b2 recipe
+    # (train.yml) keeps the default and the b8 recipes set wl_xlr: false.
+    # SAMT_WL_XLR overrides either way.
+    wl_xlr: bool = True
 
     def _wl_enabled(self) -> bool:
         env = _env_flag("SAMT_WL_DECODER")
@@ -822,10 +828,12 @@ class AppMotionCompFormer(nn.Module):
         use_wl = self._wl_enabled() and (inference
                                          or self._wl_train_enabled())
         # the parallel low-res decode (train only, :651/:658-659) runs the
-        # same blocks; keeping it in the SAME layout as the main stream
-        # avoids XLA assigning the shared ops two disagreeing layouts
-        # (measured A/B docs/PERF.md §18). SAMT_WL_XLR=0 reverts.
-        xlr_wl = use_wl and _env_flag("SAMT_WL_XLR") is not False
+        # same blocks; same-layout-as-main won the b2 A/B and lost the b8
+        # one (measured docs/PERF.md §18) — per-recipe config `wl_xlr`,
+        # env SAMT_WL_XLR overrides.
+        env_xlr = _env_flag("SAMT_WL_XLR")
+        xlr_wl = use_wl and (bool(self.wl_xlr) if env_xlr is None
+                             else env_xlr)
         in_wl = False
         lr_wl = False
 

@@ -49,12 +49,13 @@ class VGG19Features(nn.Module):
         # dtype-preserving normalization: the f32 constants would
         # silently promote a bf16 pyramid back to f32 at the VGG entry,
         # doubling every VGG activation byte in the mixed-precision
-        # train step (found by the §18 copy hunt — the f32[B,256,256,64]
-        # layout-copy class was VGG slice-1 running promoted).
-        # SAMT_VGG_DT=1 opts in (A/B in tools/bench_copy_hunt.py);
-        # default keeps the historical promoting form until measured.
+        # train step (the f32[B,256,256,64] layout-copy class in the
+        # §11b trace was VGG slice-1 running promoted). Measured A/B
+        # docs/PERF.md §18: −19 ms/step at b8-selective, −2 ms at b2 —
+        # DEFAULT ON; SAMT_VGG_DT=0 reverts to the promoting form.
+        # No effect on f32 graphs (constants cast to x.dtype = f32).
         # Flag is read at trace time (strict parse, utils/env.py).
-        if env_flag_default("SAMT_VGG_DT", False):
+        if env_flag_default("SAMT_VGG_DT", True):
             mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
             std = jnp.asarray(_IMAGENET_STD, x.dtype)
             x = (x - mean) / std

@@ -258,11 +258,12 @@ class Trainer:
             names = ["conv_out", "dense_out"]
             if env_flag_default("SAMT_WARP_RESIDENT", True):
                 names.append("warp_corners")
-            # "wl_edge" keeps the WL region-boundary transposes resident
-            # so the backward's re-forward doesn't repeat the layout
-            # copies (the largest single data-formatting bucket in the
-            # b8 step trace — docs/PERF.md §18). SAMT_WL_EDGE=0 reverts.
-            if env_flag_default("SAMT_WL_EDGE", True):
+            # "wl_edge" keeps the WL region-boundary transposes resident.
+            # Measured NEUTRAL at b8-selective once the name was scoped
+            # to the true region boundaries (563 vs 563 chained,
+            # docs/PERF.md §18) — default off; SAMT_WL_EDGE=1 re-enables
+            # for experiments.
+            if env_flag_default("SAMT_WL_EDGE", False):
                 names.append("wl_edge")
             self.remat_policy = jax.checkpoint_policies.save_only_these_names(
                 *names)

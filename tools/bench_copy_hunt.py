@@ -55,7 +55,7 @@ def run_variant(name, flags, batch, remat, steps):
     m4 = re.search(r"hbm peak: ([\d.]+) GiB", out)
     if p.returncode != 0 or not m:
         print(out[-3000:])
-        raise SystemExit(f"{name} run failed (rc={p.returncode})")
+        return None
     return {"chained_ms": int(m.group(1)),
             "step1_loss": float(m3.group(1)) if m3 else None,
             "hbm_gib": float(m4.group(1)) if m4 else None}
@@ -77,6 +77,12 @@ def main():
     for p in range(passes):
         for name, flags in variants:
             r = run_variant(name, flags, batch, remat, steps)
+            if r is None:  # transient relay/AOT failures happen; retry
+                print(f"pass {p} {name}: FAILED, retrying once",
+                      flush=True)
+                r = run_variant(name, flags, batch, remat, steps)
+            if r is None:
+                raise SystemExit(f"{name} failed twice")
             results[name].append(r)
             print(f"pass {p} {name}: chained {r['chained_ms']} ms/step "
                   f"(step1 l_g_total={r['step1_loss']}, "
