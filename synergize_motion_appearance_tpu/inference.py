@@ -342,15 +342,19 @@ def find_best_frame_fa(source_np, driving_np, cpu: bool = True) -> int:
     fa = face_alignment.FaceAlignment(
         face_alignment.LandmarksType.TWO_D, flip_input=True,
         device="cpu" if cpu else "cuda")
+    # face_alignment >=1.4 removed the deprecated get_landmarks alias;
+    # get_landmarks_from_image is the canonical name on every version
+    landmarks = getattr(fa, "get_landmarks_from_image", None) \
+        or fa.get_landmarks
     source = _to_rgb01(np.asarray(source_np))
     if source.ndim == 4:
         source = source[0]
-    kp_source = normalize_kp(fa.get_landmarks(255 * source)[0])
+    kp_source = normalize_kp(landmarks(255 * source)[0])
     norm, frame_num = float("inf"), 0
     for i in range(driving_np.shape[0]):
         try:
             image = _to_rgb01(driving_np[i])
-            kp_driving = normalize_kp(fa.get_landmarks(255 * image)[0])
+            kp_driving = normalize_kp(landmarks(255 * image)[0])
             new_norm = float(((kp_source - kp_driving) ** 2).sum())
             if new_norm < norm:
                 norm, frame_num = new_norm, i
@@ -362,16 +366,22 @@ def find_best_frame_fa(source_np, driving_np, cpu: bool = True) -> int:
 def find_best_frame(source_np, driving_np,
                     pipeline: Optional[ReenactmentPipeline] = None,
                     cpu: bool = True) -> int:
-    """Reference-faithful anchor selection: face_alignment when the
-    dependency is importable (demo.py:74-101), else the pipeline's own
-    unsupervised keypoints under the same hull-normalized criterion."""
+    """Reference-faithful anchor selection: face_alignment when usable
+    (demo.py:74-101), else the pipeline's own unsupervised keypoints
+    under the same hull-normalized criterion. Falls back on ANY
+    face_alignment failure (missing package, removed API, no CUDA on a
+    cpu=False request, no face found in the source) — anchor selection
+    should degrade, not kill the run."""
     try:
         import face_alignment  # noqa: F401
-    except ImportError:
+
+        return find_best_frame_fa(source_np, driving_np, cpu=cpu)
+    except Exception as e:
         if pipeline is None:
             raise
+        print(f"find_best_frame: face_alignment path failed "
+              f"({type(e).__name__}: {e}); using own-kp fallback")
         return find_best_frame_kp(pipeline, source_np, driving_np)
-    return find_best_frame_fa(source_np, driving_np, cpu=cpu)
 
 
 def find_best_frame_kp(pipeline: ReenactmentPipeline, source_np,
