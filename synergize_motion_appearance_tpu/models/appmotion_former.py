@@ -277,19 +277,34 @@ class AppMotionCompFormer(nn.Module):
     # SAMT_WL_XLR overrides either way.
     wl_xlr: bool = True
 
-    def _wl_enabled(self) -> bool:
+    def _wl_inference_enabled(self) -> bool:
+        """WL decoder region in INFERENCE graphs. Default OFF: the r3
+        same-day e2e A/B that made it the TPU default was link-noise
+        confounded — the link-invariant device measurement (r5,
+        docs/PERF.md §20) shows WL at inference LOSES 12% device time
+        (fb=16 device_fps 184.3 NHWC vs 163.0 WL). Env SAMT_WL_DECODER
+        or config wl_decoder still opt in (A/B harnesses, tests)."""
         env = _env_flag("SAMT_WL_DECODER")
         if env is not None:
             return env
         if self.wl_decoder is not None:
             return bool(self.wl_decoder)
-        return jax.default_backend() == "tpu"
+        return False
 
     def _wl_train_enabled(self) -> bool:
+        """WL region in TRAIN graphs — measured WIN there (§17/§18:
+        b2 chained 179→157 with wl_train+wl_xlr+vgg-dt; the train step
+        is conv-VJP-bound where the shuffle-free kernel pays off).
+        `wl_train` rides the wl_decoder tri-state for the kernel gate:
+        default (None) = TPU-auto, explicit bool wins, env overrides."""
         env = _env_flag("SAMT_WL_TRAIN")
         if env is not None:
             return env
-        return bool(self.wl_train)
+        if not bool(self.wl_train):
+            return False
+        if self.wl_decoder is not None:
+            return bool(self.wl_decoder)
+        return jax.default_backend() == "tpu"
 
     # ---------------- derived static config ----------------
 
@@ -825,8 +840,8 @@ class AppMotionCompFormer(nn.Module):
         # (transpose at the SMALL pre-upsample size); exit happens before
         # the final RGB conv. Everything outside block/fuse calls (warps,
         # occlusion, codebook compensation) stays NHWC.
-        use_wl = self._wl_enabled() and (inference
-                                         or self._wl_train_enabled())
+        use_wl = (self._wl_inference_enabled() if inference
+                  else self._wl_train_enabled())
         # the parallel low-res decode (train only, :651/:658-659) runs the
         # same blocks; same-layout-as-main won the b2 A/B and lost the b8
         # one (measured docs/PERF.md §18) — per-recipe config `wl_xlr`,
