@@ -447,6 +447,24 @@ class Trainer:
                     tree,
                 )
 
+            # SAMT_D_BF16=1: run the discriminator in bf16 (params +
+            # images cast inside the grad; BN running stats stay f32 in
+            # the state — the bf16 batch-stat updates are cast back).
+            # EXPERIMENT flag for the b8 <500 ms hunt; default off =
+            # exact f32 D (reference numerics).
+            ddt = jnp.bfloat16 \
+                if env_flag_default("SAMT_D_BF16", False) else None
+
+            def d_apply(variables, img, **kw):
+                if ddt is None:
+                    return self.net_d.apply(variables, img, **kw)
+                v = {"params": _cast(variables["params"], ddt),
+                     "batch_stats": variables["batch_stats"]}
+                pred, mut = self.net_d.apply(v, _cast(img, ddt), **kw)
+                mut = {"batch_stats": _cast(mut["batch_stats"],
+                                            jnp.float32)}
+                return pred.astype(jnp.float32), mut
+
             def _g_forward(params_g, src, dm, gt_):
                 if cdt is not None:
                     out = self.net_g.apply(
@@ -516,7 +534,7 @@ class Trainer:
 
                 # GAN term (gated on d_on like :325-345)
                 if self.cri_gan is not None:
-                    fake_pred, mut_d_g = self.net_d.apply(
+                    fake_pred, mut_d_g = d_apply(
                         {"params": state.params_d,
                          "batch_stats": state.stats_d},
                         out["out"], train=True, mutable=["batch_stats"],
@@ -664,12 +682,12 @@ class Trainer:
 
             # D phase (:414-432)
             def d_loss_fn(params_d):
-                real_pred, s1 = self.net_d.apply(
+                real_pred, s1 = d_apply(
                     {"params": params_d, "batch_stats": stats_d_after_g},
                     gt, train=True, mutable=["batch_stats"],
                 )
                 l_d_real = self.cri_gan(real_pred, True, is_disc=True)
-                fake_pred, s2 = self.net_d.apply(
+                fake_pred, s2 = d_apply(
                     {"params": params_d, "batch_stats": s1["batch_stats"]},
                     sg(fake_img), train=True, mutable=["batch_stats"],
                 )
