@@ -241,6 +241,13 @@ def test_two_process_train_step_equivalence(tmp_path):
             SLURM_PROCID=str(rank), SLURM_NTASKS="2",
             SLURM_NODELIST="localhost", MASTER_PORT=str(port),
             BASELINE_NPZ=str(npz),
+            # workers don't load tests/conftest — give them the same
+            # persistent compile cache so reruns skip the cold compile
+            # (the 2-proc sharded step is a distinct graph from the
+            # baseline's; both workers compiling it cold concurrently
+            # on this 1-core host is what used to blow the timeout)
+            JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/samt_test_jax_cache"),
         )
         env.pop("JAX_NUM_PROCESSES", None)
         procs.append(subprocess.Popen(
@@ -248,7 +255,9 @@ def test_two_process_train_step_equivalence(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1500)
+        # 3600 s: two concurrent cold XLA-CPU compiles of the full tiny
+        # G+D step on one core measured ~25 min each under tier load
+        out, _ = p.communicate(timeout=3600)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
